@@ -1,0 +1,131 @@
+"""Batched Poseidon permutation on device (JAX, uint32 limbs).
+
+The state is a ``GF`` array of shape ``(..., 12)``; all leading dimensions are
+batch dimensions, so one call hashes an entire Merkle level / leaf matrix.
+Everything is elementwise VPU work that fuses under jit.
+
+The MDS multiply exploits the small circulant structure (entries <= 41): each
+input element is split into 4x16-bit limbs and the matrix-vector product is an
+exact uint32 integer accumulation (max ~2^24 per limb lane), followed by one
+carry propagation and a single 128->64 Goldilocks reduction per element —
+no general field multiplies. This is the TPU-native counterpart of the
+reference's scalar `mds_row_shf` loops (plonky2 Poseidon; used for every
+commitment at /root/reference/evm_arithmetization/src/prover.rs:100-111).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..field import GF
+from ..field import goldilocks as gl
+from . import poseidon_params as pp
+
+MASK16 = np.uint32(0xFFFF)
+
+
+def _rc_gf() -> GF:
+    """(n_rounds, 12) round-constant table as a GF array. Built from the
+    cached numpy table at every call site — never cache GF/jnp values, they
+    may be tracers if constructed under an ambient jit trace."""
+    return GF.from_u64(pp.round_constants_np())
+
+
+def _mds(state: GF) -> GF:
+    """Circulant-MDS multiply along the last axis (size 12)."""
+    params = pp.default_params()
+    w = params.width
+    lo, hi = state.lo, state.hi
+    limbs = (lo & MASK16, lo >> 16, hi & MASK16, hi >> 16)
+    # acc_k = sum_i circ[i] * roll(limb_k, -i) + diag * limb_k
+    acc = [None] * 4
+    for i, c in enumerate(params.mds_circ):
+        cc = np.uint32(c)
+        for k in range(4):
+            term = jnp.roll(limbs[k], -i, axis=-1) * cc
+            acc[k] = term if acc[k] is None else acc[k] + term
+    diag = np.array(params.mds_diag, dtype=np.uint32)
+    for k in range(4):
+        acc[k] = acc[k] + limbs[k] * diag
+    # carry-propagate 4x~24-bit limb sums into a 96-bit value, then reduce.
+    t0 = acc[0] & MASK16
+    c0 = acc[0] >> 16
+    s1 = acc[1] + c0
+    t1 = s1 & MASK16
+    c1 = s1 >> 16
+    s2 = acc[2] + c1
+    t2 = s2 & MASK16
+    c2 = s2 >> 16
+    s3 = acc[3] + c2
+    t3 = s3 & MASK16
+    c3 = s3 >> 16
+    r0 = t0 | (t1 << 16)
+    r1 = t2 | (t3 << 16)
+    return GF(*gl.reduce128(r0, r1, c3, jnp.zeros_like(c3)))
+
+
+def _sbox7(x: GF) -> GF:
+    x2 = x.square()
+    x3 = x2 * x
+    return x3.square() * x
+
+
+@jax.jit
+def permute(state: GF) -> GF:
+    """Poseidon permutation over a (..., 12) GF state.
+
+    Rounds run under lax.scan (round constants are the scanned input) so the
+    compiled graph holds one full-round body and one partial-round body —
+    compile time stays flat no matter how often permute is inlined."""
+    params = pp.default_params()
+    rcs = _rc_gf()
+    h = params.half_full_rounds
+    np_ = params.n_partial_rounds
+
+    def full_round(s: GF, rc: GF):
+        return _mds(_sbox7(s + rc)), None
+
+    def partial_round(s: GF, rc: GF):
+        s = s + rc
+        x0 = _sbox7(s[..., :1])
+        s = GF.concatenate([x0, s[..., 1:]], axis=-1)
+        return _mds(s), None
+
+    state, _ = jax.lax.scan(full_round, state, rcs[:h])
+    state, _ = jax.lax.scan(partial_round, state, rcs[h:h + np_])
+    state, _ = jax.lax.scan(full_round, state, rcs[h + np_:])
+    return state
+
+
+@jax.jit
+def hash_rows(matrix: GF) -> GF:
+    """Hash each row of a (n_rows, n_cols) GF matrix to a 4-element digest.
+
+    Overwrite-mode sponge, rate 8; rows with <= 4 columns are zero-padded
+    passthrough digests (leaf `hash_or_noop` semantics). The column loop is
+    static, so the whole leaf-hash is one fused device computation.
+    """
+    n_rows, n_cols = matrix.shape
+    if n_cols <= 4:
+        pad = GF.zeros((n_rows, 4 - n_cols))
+        return GF.concatenate([matrix, pad], axis=1)
+    state = GF.zeros((n_rows, pp.WIDTH))
+    for off in range(0, n_cols, pp.RATE):
+        chunk = matrix[:, off:off + pp.RATE]
+        k = chunk.shape[1]
+        state = GF.concatenate([chunk, state[:, k:]], axis=1)
+        state = permute(state)
+    return state[:, :4]
+
+
+@jax.jit
+def compress(left: GF, right: GF) -> GF:
+    """Batched two-to-one compression: (..., 4) x (..., 4) -> (..., 4)."""
+    batch = left.shape[:-1]
+    zeros = GF.zeros(batch + (pp.WIDTH - 8,))
+    state = GF.concatenate([left, right, zeros], axis=-1)
+    return permute(state)[..., :4]
