@@ -213,34 +213,28 @@ def exp_u64(alo, ahi, e: int):
 
 
 def inv(alo, ahi):
-    """Field inverse via Fermat: a^(p-2). ~72 multiplies, fully vectorized.
+    """Field inverse via Fermat: a^(p-2), as a lax.fori_loop over the 64
+    exponent bits (MSB-first square-and-multiply with a select).
 
-    Uses the addition-chain structure of p-2 = 2^64 - 2^32 - 1
-    (binary: 31 ones, a zero, 32 ones)."""
-    # t2 = a^(2^1) * a = a^3 ... build a^(2^k - 1) chains.
-    def pow_acc(xlo, xhi, n, mul_lo, mul_hi):
-        # x^(2^n) * m
-        for _ in range(n):
-            xlo, xhi = square(xlo, xhi)
-        return mul(xlo, xhi, mul_lo, mul_hi)
+    The loop form keeps the traced graph ~100 ops regardless of how often
+    inv is inlined — XLA compile time is the scarce resource, and the
+    unrolled addition-chain variant costs ~150 inlined multiplies."""
+    import jax
+    import jax.numpy as jnp
 
-    # a1 = a^(2^1-1) = a
-    a1 = (alo, ahi)
-    a2 = pow_acc(*a1, 1, *a1)          # a^3 = a^(2^2-1)
-    a3 = pow_acc(*a2, 1, *a1)          # a^(2^3-1)
-    a6 = pow_acc(*a3, 3, *a3)          # a^(2^6-1)
-    a12 = pow_acc(*a6, 6, *a6)
-    a24 = pow_acc(*a12, 12, *a12)
-    a30 = pow_acc(*a24, 6, *a6)
-    a31 = pow_acc(*a30, 1, *a1)        # a^(2^31-1)
-    # p - 2 = (2^31 - 1) * 2^33 + (2^32 - 1)... check:
-    # (2^31-1)*2^33 = 2^64 - 2^33;  + 2^32 - 1 = 2^64 - 2^33 + 2^32 - 1
-    #               = 2^64 - 2^32 - 1 = p - 2.  ✓
-    a32 = pow_acc(*a31, 1, *a1)        # a^(2^32-1)
-    r = a31
-    for _ in range(33):
-        r = square(*r)
-    return mul(*r, *a32)
+    e = P - 2
+    bits = jnp.asarray(
+        np.array([(e >> (63 - i)) & 1 for i in range(64)], dtype=np.uint32))
+
+    def body(i, st):
+        rlo, rhi = square(st[0], st[1])
+        mlo, mhi = mul(rlo, rhi, alo, ahi)
+        take = bits[i] == 1
+        return (jnp.where(take, mlo, rlo), jnp.where(take, mhi, rhi))
+
+    one = (jnp.ones_like(alo), jnp.zeros_like(ahi))
+    rlo, rhi = jax.lax.fori_loop(0, 64, body, one)
+    return rlo, rhi
 
 
 # ---------------------------------------------------------------------------

@@ -67,6 +67,29 @@ def mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         return add(t, u)
 
 
+def inv(a: np.ndarray) -> np.ndarray:
+    """Elementwise modular inverse via Fermat (a^(p-2)), using the same
+    addition chain as the device kernel (~72 vector multiplies)."""
+    def pow_acc(x, n, m):
+        for _ in range(n):
+            x = mul(x, x)
+        return mul(x, m)
+
+    a1 = a
+    a2 = pow_acc(a1, 1, a1)
+    a3 = pow_acc(a2, 1, a1)
+    a6 = pow_acc(a3, 3, a3)
+    a12 = pow_acc(a6, 6, a6)
+    a24 = pow_acc(a12, 12, a12)
+    a30 = pow_acc(a24, 6, a6)
+    a31 = pow_acc(a30, 1, a1)
+    a32 = pow_acc(a31, 1, a1)
+    r = a31
+    for _ in range(33):
+        r = mul(r, r)
+    return mul(r, a32)
+
+
 def powmod(base: int, e: int) -> int:
     return pow(base % _P_INT, e, _P_INT)
 

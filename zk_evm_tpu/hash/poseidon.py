@@ -106,18 +106,31 @@ def hash_rows(matrix: GF) -> GF:
     """Hash each row of a (n_rows, n_cols) GF matrix to a 4-element digest.
 
     Overwrite-mode sponge, rate 8; rows with <= 4 columns are zero-padded
-    passthrough digests (leaf `hash_or_noop` semantics). The column loop is
-    static, so the whole leaf-hash is one fused device computation.
+    passthrough digests (leaf `hash_or_noop` semantics). Full rate-8 chunks
+    absorb under one lax.scan (compile time flat in column count — the
+    Keccak table has 2,431 columns); a trailing partial chunk gets one more
+    permutation outside the scan.
     """
     n_rows, n_cols = matrix.shape
     if n_cols <= 4:
         pad = GF.zeros((n_rows, 4 - n_cols))
         return GF.concatenate([matrix, pad], axis=1)
     state = GF.zeros((n_rows, pp.WIDTH))
-    for off in range(0, n_cols, pp.RATE):
-        chunk = matrix[:, off:off + pp.RATE]
-        k = chunk.shape[1]
-        state = GF.concatenate([chunk, state[:, k:]], axis=1)
+    n_full = n_cols // pp.RATE
+    rem = n_cols % pp.RATE
+    if n_full:
+        chunks = matrix[:, :n_full * pp.RATE] \
+            .reshape(n_rows, n_full, pp.RATE) \
+            .transpose(1, 0, 2)                   # (n_full, n_rows, 8)
+
+        def absorb(s: GF, chunk: GF):
+            s = GF.concatenate([chunk, s[:, pp.RATE:]], axis=1)
+            return permute(s), None
+
+        state, _ = jax.lax.scan(absorb, state, chunks)
+    if rem:
+        tail = matrix[:, n_full * pp.RATE:]
+        state = GF.concatenate([tail, state[:, rem:]], axis=1)
         state = permute(state)
     return state[:, :4]
 

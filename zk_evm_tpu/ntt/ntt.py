@@ -8,15 +8,18 @@ prover bottleneck, book/src/framework/cost_model.md:2).
 
 Design notes (TPU-first):
 - Polynomials live as GF arrays of shape (..., n), n = 2^k static. A whole
-  table (num_polys, n) transforms in one fused program; the stage loop is a
-  static python loop, so XLA sees one flat graph of vectorized butterflies.
-- Forward transform is decimation-in-frequency (natural input -> bit-reversed
-  output); inverse is decimation-in-time (bit-reversed input -> natural
-  output). The FRI layout wants LDE leaves in bit-reversed order anyway
-  (fold pairs are then adjacent), so the full LDE pipeline costs exactly one
-  explicit gather (the input bit-reversal of the IFFT).
-- Twiddles are device-resident constants built once per (size, direction) by
-  log-doubling (`powers`), cached.
+  table (num_polys, n) transforms in one fused program.
+- The butterfly network is the CONSTANT-GEOMETRY (Pease) form: every stage
+  pairs (i, i + n/2) and interleaves results, so all log2(n) stages have
+  identical shape and run under one lax.scan whose xs are the per-stage
+  twiddle rows. The compiled graph is one stage body — compile time is
+  independent of n (XLA compile throughput, not FLOPs, is the scarce
+  resource for deep elementwise graphs).
+- Pease output order is bit-reversed, which is exactly the Merkle-leaf /
+  FRI-fold layout, so the LDE pipeline needs a single explicit gather (the
+  input reordering of the IFFT).
+- Twiddles: stage s multiplies lane q (q < n/2) by w^(q with low s bits
+  cleared); the (logn, n/2) table is numpy-precomputed and cached.
 """
 
 from __future__ import annotations
@@ -55,79 +58,66 @@ def powers(base: int, n: int) -> GF:
     return GF.from_u64(np_field.powers(base, n))
 
 
-@lru_cache(maxsize=128)
-def _stage_twiddles_np(logn: int, inverse: bool) -> tuple[np.ndarray, ...]:
-    """Per-stage twiddle vectors for block sizes n, n/2, ..., 2, as numpy
-    uint64 (cached trace-free; converted to device constants at use sites).
-
-    Stage for block size b uses w_b^j, j < b/2, where w_b is the primitive
-    b-th root of unity (or its inverse)."""
-    out = []
-    for s in range(logn):
-        b_log = logn - s
-        w = host.primitive_root_of_unity(b_log)
-        if inverse:
-            w = host.finv(w)
-        out.append(np_field.powers(w, 1 << (b_log - 1)))
-    return tuple(out)
-
-
-def _stage_twiddles(logn: int, inverse: bool) -> tuple[GF, ...]:
-    return tuple(GF.from_u64(t) for t in _stage_twiddles_np(logn, inverse))
-
-
-def _dif(x: GF, logn: int, inverse: bool) -> GF:
-    """Gentleman-Sande butterflies: natural order in, bit-reversed out."""
+@lru_cache(maxsize=64)
+def _pease_twiddles_np(logn: int, inverse: bool) -> np.ndarray:
+    """(logn, n/2) twiddle table: row s, lane q = w^(q & ~(2^s - 1))."""
     n = 1 << logn
-    tws = _stage_twiddles(logn, inverse)
-    shape = x.shape
+    w = host.primitive_root_of_unity(logn)
+    if inverse:
+        w = host.finv(w)
+    pw = np_field.powers(w, max(n, 2))
+    q = np.arange(n // 2, dtype=np.int64)
+    out = np.empty((logn, n // 2), dtype=np.uint64)
     for s in range(logn):
-        b = n >> s
-        half = b >> 1
-        y = x.reshape(shape[:-1] + (n // b, b))
-        u = y[..., :half]
-        v = y[..., half:]
-        x = GF.concatenate([u + v, (u - v) * tws[s]], axis=-1)
-        x = x.reshape(shape)
-    return x
+        out[s] = pw[(q >> s) << s]
+    return out
 
 
-def _dit(x: GF, logn: int, inverse: bool) -> GF:
-    """Cooley-Tukey butterflies: bit-reversed order in, natural out."""
-    n = 1 << logn
-    tws = _stage_twiddles(logn, inverse)
+def _pease(x: GF, inverse: bool) -> GF:
+    """Constant-geometry butterfly network: natural in, bit-reversed out."""
+    n = x.shape[-1]
+    logn = n.bit_length() - 1
+    if logn == 0:
+        return x
+    tw = GF.from_u64(_pease_twiddles_np(logn, inverse))
     shape = x.shape
-    for s in range(logn - 1, -1, -1):
-        b = n >> s
-        half = b >> 1
-        y = x.reshape(shape[:-1] + (n // b, b))
-        u = y[..., :half]
-        t = y[..., half:] * tws[s]
-        x = GF.concatenate([u + t, u - t], axis=-1)
-        x = x.reshape(shape)
-    return x
+    half = n // 2
+
+    def stage(xc: GF, tws: GF):
+        u = xc[..., :half]
+        v = xc[..., half:]
+        t0 = u + v
+        t1 = (u - v) * tws
+        y = GF.stack([t0, t1], axis=-1).reshape(shape)
+        return y, None
+
+    y, _ = jax.lax.scan(stage, x, tw)
+    return y
 
 
 def fft(coeffs: GF) -> GF:
     """coeffs (natural) -> values (natural) on the 2-adic subgroup."""
-    logn = coeffs.shape[-1].bit_length() - 1
-    return bit_reverse(_dif(coeffs, logn, inverse=False))
+    return bit_reverse(_pease(coeffs, inverse=False))
+
+
+def fft_bitrev(coeffs: GF) -> GF:
+    """coeffs (natural) -> values in bit-reversed order."""
+    return _pease(coeffs, inverse=False)
 
 
 def ifft(values: GF) -> GF:
-    """values (natural) -> coeffs (natural)."""
+    """values (natural) -> coeffs (natural).
+
+    coeffs = (1/n) * NTT_{w^-1}(values)."""
     n = values.shape[-1]
-    logn = n.bit_length() - 1
-    coeffs = _dit(bit_reverse(values), logn, inverse=True)
+    coeffs = bit_reverse(_pease(values, inverse=True))
     return coeffs * GF.const(host.finv(n))
 
 
 def coset_fft(coeffs: GF, shift: int = COSET_SHIFT) -> GF:
     """coeffs (natural) -> values on shift*<g_n> (natural)."""
     n = coeffs.shape[-1]
-    logn = n.bit_length() - 1
-    scaled = coeffs * powers(shift, n)
-    return bit_reverse(_dif(scaled, logn, inverse=False))
+    return bit_reverse(_pease(coeffs * powers(shift, n), inverse=False))
 
 
 def lde_bitrev(values: GF, rate_bits: int = 1,
@@ -136,16 +126,33 @@ def lde_bitrev(values: GF, rate_bits: int = 1,
     BIT-REVERSED order, |K| = |H| << rate_bits. This is the Merkle-leaf /
     FRI-oracle layout."""
     n = values.shape[-1]
-    logn = n.bit_length() - 1
-    coeffs = _dit(bit_reverse(values), logn, inverse=True)
-    coeffs = coeffs * GF.const(host.finv(n))
-    coeffs = coeffs * powers(shift, n)
+    coeffs = ifft(values) * powers(shift, n)
     pad = GF.zeros(values.shape[:-1] + (n * ((1 << rate_bits) - 1),))
-    coeffs = GF.concatenate([coeffs, pad], axis=-1)
-    return _dif(coeffs, logn + rate_bits, inverse=False)
+    return _pease(GF.concatenate([coeffs, pad], axis=-1), inverse=False)
+
+
+def lde_from_coeffs_bitrev(coeffs: GF, rate_bits: int = 1,
+                           shift: int = COSET_SHIFT) -> GF:
+    """coeffs (natural) -> LDE values on shift*K in BIT-REVERSED order."""
+    n = coeffs.shape[-1]
+    coeffs = coeffs * powers(shift, n)
+    pad = GF.zeros(coeffs.shape[:-1] + (n * ((1 << rate_bits) - 1),))
+    return _pease(GF.concatenate([coeffs, pad], axis=-1), inverse=False)
+
+
+def coset_ifft_from_bitrev(values_br: GF, shift: int = COSET_SHIFT) -> GF:
+    """values on shift*<g> in bit-reversed order -> coeffs (natural)."""
+    n = values_br.shape[-1]
+    coeffs = ifft(bit_reverse(values_br))
+    return coeffs * powers(host.finv(shift), n)
 
 
 fft = jax.jit(fft)
+fft_bitrev = jax.jit(fft_bitrev)
 ifft = jax.jit(ifft)
 coset_fft = jax.jit(coset_fft, static_argnames=("shift",))
 lde_bitrev = jax.jit(lde_bitrev, static_argnames=("rate_bits", "shift"))
+lde_from_coeffs_bitrev = jax.jit(lde_from_coeffs_bitrev,
+                                 static_argnames=("rate_bits", "shift"))
+coset_ifft_from_bitrev = jax.jit(coset_ifft_from_bitrev,
+                                 static_argnames=("shift",))

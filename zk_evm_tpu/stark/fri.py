@@ -101,6 +101,7 @@ def _pair_x_inv_bitrev(log_m: int, shift: int) -> np.ndarray:
 # Device folding
 # ---------------------------------------------------------------------------
 
+@jax.jit
 def _fold_once(values: GFE, beta: GFE, x_inv: GF) -> GFE:
     """One arity-2 fold of a bitrev extension array on a known coset:
     v' = (v0 + v1)/2 + beta * (v0 - v1)/(2x)."""
@@ -112,6 +113,21 @@ def _fold_once(values: GFE, beta: GFE, x_inv: GF) -> GFE:
     s = (v0 + v1) * inv2
     d = (v0 - v1) * inv2 * x_inv
     return s + d * beta
+
+
+@jax.jit
+def _g_accumulate(g: GFE, lde_sel: GF, awa: GF, awb: GF,
+                  y: GFE, z: GFE, xs: GF) -> GFE:
+    """g += (sum_t alpha^t P_t(x) - y) / (x - z) for one opening batch.
+
+    lde_sel: (T, m) selected polys; awa/awb: (T,) alpha-power limbs;
+    y, z: scalar GFE; xs: (m,) domain points."""
+    m = lde_sel.shape[-1]
+    ra = (lde_sel * awa.reshape(-1, 1)).sum(axis=0)
+    rb = (lde_sel * awb.reshape(-1, 1)).sum(axis=0)
+    num = GFE(ra, rb) - y
+    denom = GFE(xs, GF.zeros((m,))) - z
+    return g + num * denom.inv()
 
 
 def _ext_leaves(values: GFE, arity: int) -> GF:
@@ -153,20 +169,33 @@ def prove_fri(oracles: list[PolynomialBatch],
     t = 0  # global alpha power index
     for batch in batches:
         z = batch.point
-        # R(x) = sum alpha^{t+k} P_k(x); y = sum alpha^{t+k} y_k
-        ra = GF.zeros((m,))
-        rb = GF.zeros((m,))
+        # alpha powers for this batch (host-exact), and y = sum a^t y_t
+        aps = []
         y = (0, 0)
-        for (oracle_idx, poly_idx), yv in zip(batch.entries, batch.values):
-            ap = host.eexp(alpha, t)
-            p = oracles[oracle_idx].lde[poly_idx]       # (m,) base field
-            ra = ra + p * GF.const(ap[0])
-            rb = rb + p * GF.const(ap[1])
+        ap = host.eexp(alpha, t)
+        for yv in batch.values:
+            aps.append(ap)
             y = host.eadd(y, host.emul(ap, yv))
+            ap = host.emul(ap, alpha)
             t += 1
-        num = GFE(ra - GF.const(y[0]), rb - GF.const(y[1]))
-        denom = GFE(xs - GF.const(z[0]), -GF.const(z[1]).broadcast_to((m,)))
-        g_vals = g_vals + num * denom.inv()
+        # gather the selected LDE rows, grouped by oracle (order-preserving)
+        sels = []
+        i = 0
+        while i < len(batch.entries):
+            oi = batch.entries[i][0]
+            j = i
+            idxs = []
+            while j < len(batch.entries) and batch.entries[j][0] == oi:
+                idxs.append(batch.entries[j][1])
+                j += 1
+            sels.append(oracles[oi].lde.take(np.array(idxs), axis=0))
+            i = j
+        lde_sel = sels[0] if len(sels) == 1 else GF.concatenate(sels, axis=0)
+        awa = GF.from_u64(np.array([a for a, _ in aps], dtype=np.uint64))
+        awb = GF.from_u64(np.array([b for _, b in aps], dtype=np.uint64))
+        g_vals = _g_accumulate(
+            g_vals, lde_sel, awa, awb,
+            GFE.const(y[0], y[1]), GFE.const(z[0], z[1]), xs)
 
     # ---- commit phase ---------------------------------------------------
     arities = config.reduction_arity_bits(degree_bits)
@@ -214,24 +243,32 @@ def prove_fri(oracles: list[PolynomialBatch],
     challenger.observe_element(pow_witness)
     _ = challenger.get_challenge()  # the checked PoW response
 
-    # ---- query rounds ---------------------------------------------------
+    # ---- query rounds (batched extraction across all queries) ----------
     indices = [c % m for c in
                challenger.get_n_challenges(config.num_query_rounds)]
+    nq = len(indices)
+    init_leaves = [o.tree.leaves_at(indices) for o in oracles]
+    init_paths = [o.tree.prove_many(indices) for o in oracles]
+    step_leaves, step_paths = [], []
+    cur_idxs = np.asarray(indices, dtype=np.int64)
+    for tree, ab in zip(commit_trees, arities):
+        coset_idxs = cur_idxs >> ab
+        step_leaves.append(tree.leaves_at(coset_idxs))
+        step_paths.append(tree.prove_many(coset_idxs))
+        cur_idxs = coset_idxs
     rounds = []
-    for idx in indices:
+    for q in range(nq):
         initial = FriInitialProof(
-            leaves=[o.leaf_ints(idx) for o in oracles],
-            paths=[o.tree.prove(idx) for o in oracles])
+            leaves=[[int(x) for x in init_leaves[o][q]]
+                    for o in range(len(oracles))],
+            paths=[init_paths[o][q] for o in range(len(oracles))])
         steps = []
-        cur_idx = idx
-        for tree, ab in zip(commit_trees, arities):
-            coset_idx = cur_idx >> ab
-            row = tree.leaves[coset_idx].to_u64()
+        for k, ab in enumerate(arities):
+            row = step_leaves[k][q]
             vals = [(int(row[2 * i]), int(row[2 * i + 1]))
                     for i in range(1 << ab)]
             steps.append(FriQueryStep(coset_values=vals,
-                                      path=tree.prove(coset_idx)))
-            cur_idx = coset_idx
+                                      path=step_paths[k][q]))
         rounds.append(FriQueryRound(initial=initial, steps=steps))
 
     return FriProof(commit_phase_caps=commit_caps, final_poly=final_poly,
@@ -239,25 +276,32 @@ def prove_fri(oracles: list[PolynomialBatch],
 
 
 def _grind(challenger: Challenger, bits: int) -> int:
-    """Find w such that duplexing w yields a challenge with `bits` leading
-    zero bits. One batched device permutation over candidate witnesses."""
+    """Find w such that observe(w); get_challenge() yields `bits` leading
+    zero bits. One batched device permutation over candidate witnesses.
+
+    Must not mutate `challenger`: we replicate its exact duplex step —
+    pending input-buffer elements land in lanes [0..k), the candidate in
+    lane k, one permutation, response = state[7] (output_buffer.pop())."""
     if bits == 0:
         return 0
-    base_state = challenger.compact()
+    pending = list(challenger.input_buffer)   # always < RATE elements
+    k = len(pending)
+    base = list(challenger.sponge_state)
     batch = 1 << max(bits + 2, 12)
-    states = np.tile(np.array(base_state, dtype=np.uint64), (batch, 1))
-    states[:, 0] = np.arange(batch, dtype=np.uint64)
+    states = np.tile(np.array(base, dtype=np.uint64), (batch, 1))
+    for i, x in enumerate(pending):
+        states[:, i] = x
+    states[:, k] = np.arange(batch, dtype=np.uint64)
     out = poseidon.permute(GF.from_u64(states)).to_u64()
-    resp = out[:, 7]  # get_challenge pops output_buffer[-1] = state[7]
+    resp = out[:, 7]
     ok = np.nonzero((resp >> np.uint64(64 - bits)) == 0)[0]
     if len(ok) == 0:  # astronomically unlikely for sane batch sizes
         raise RuntimeError("PoW grind failed; grow the batch")
+    import copy
     w = int(ok[0])
-    # sanity: host transcript agrees
-    check = Challenger(base_state)
+    check = copy.deepcopy(challenger)
     check.observe_element(w)
-    c = check.get_challenge()
-    assert c >> (64 - bits) == 0
+    assert check.get_challenge() >> (64 - bits) == 0
     return w
 
 

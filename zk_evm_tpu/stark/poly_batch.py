@@ -42,11 +42,11 @@ class PolynomialBatch:
 
     @property
     def num_polys(self) -> int:
-        return self.values.shape[0]
+        return self.coeffs.shape[0]
 
     @property
     def degree(self) -> int:
-        return self.values.shape[1]
+        return self.coeffs.shape[1]
 
     @property
     def cap(self) -> GF:
@@ -65,6 +65,15 @@ class PolynomialBatch:
         tree = build_tree(leaves, cap_height=cap_height)
         return cls(values, coeffs, lde, tree, rate_bits)
 
+    @classmethod
+    def from_coeffs(cls, coeffs: GF,
+                    rate_bits: int = 1, cap_height: int = 4
+                    ) -> "PolynomialBatch":
+        """Commit polynomials given in coefficient form (quotient chunks)."""
+        lde = ntt.lde_from_coeffs_bitrev(coeffs, rate_bits=rate_bits)
+        tree = build_tree(lde.T, cap_height=cap_height)
+        return cls(None, coeffs, lde, tree, rate_bits)
+
     def open_at(self, zs: list[tuple[int, int]]) -> np.ndarray:
         """Evaluate every poly at each extension point z = (a, b).
 
@@ -82,17 +91,18 @@ class PolynomialBatch:
         return [int(x) for x in self.tree.leaves[index].to_u64()]
 
 
+@jax.jit
+def _weighted_sums(coeffs: GF, pa: GF, pb: GF):
+    return (coeffs * pa).sum(axis=1), (coeffs * pb).sum(axis=1)
+
+
 def _eval_at_ext_point(coeffs: GF, z: tuple[int, int]) -> np.ndarray:
     """sum_i coeffs[:, i] * z^i for an extension point z; returns
     (num_polys, 2) uint64."""
-    from ..field import np_field
     n = coeffs.shape[1]
     # powers of z in the extension: (a_i, b_i), computed host-side exactly
     za, zb = _ext_powers(z, n)
-    pa = GF.from_u64(za)
-    pb = GF.from_u64(zb)
-    ra = (coeffs * pa).sum(axis=1)   # (num_polys,)
-    rb = (coeffs * pb).sum(axis=1)
+    ra, rb = _weighted_sums(coeffs, GF.from_u64(za), GF.from_u64(zb))
     return np.stack([ra.to_u64(), rb.to_u64()], axis=-1)
 
 

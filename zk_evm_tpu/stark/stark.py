@@ -1,0 +1,71 @@
+"""Stark (AIR) abstraction: one constraint system evaluated in two algebras.
+
+A table's constraints are written once against the operator surface shared
+by GF arrays (prover: vectorized over the whole LDE coset) and HExt scalars
+(verifier: at the out-of-domain point zeta). This replaces the reference's
+eval_packed_generic / eval_ext_circuit duplication (every `*_stark.rs`, see
+SURVEY.md §2.2) with a single generic eval.
+"""
+
+from __future__ import annotations
+
+
+class StarkFrame:
+    """Constraint inputs: column values on the current and next row (for
+    the prover these are (m,)-shaped GF arrays; for the verifier HExt
+    scalars), plus public inputs as plain ints."""
+
+    __slots__ = ("local", "next", "public_inputs")
+
+    def __init__(self, local, next_, public_inputs=None):
+        self.local = local
+        self.next = next_
+        self.public_inputs = public_inputs or []
+
+
+class ConstraintConsumer:
+    """Accumulates constraints as acc_i = acc_i * alpha_i + c per challenge.
+
+    Row-filter selectors (z_last, lagrange_first/last) are algebra elements
+    supplied by the caller, evaluated on the same domain as the frame."""
+
+    def __init__(self, alphas, zero, z_last, lagrange_first, lagrange_last):
+        self.alphas = list(alphas)
+        self.accs = [zero for _ in alphas]
+        self.z_last = z_last
+        self.lagrange_first = lagrange_first
+        self.lagrange_last = lagrange_last
+
+    def constraint(self, c) -> None:
+        """Must hold on every row of the trace."""
+        self.accs = [acc * alpha + c
+                     for acc, alpha in zip(self.accs, self.alphas)]
+
+    def constraint_transition(self, c) -> None:
+        """Must hold on every row but the last."""
+        self.constraint(c * self.z_last)
+
+    def constraint_first_row(self, c) -> None:
+        self.constraint(c * self.lagrange_first)
+
+    def constraint_last_row(self, c) -> None:
+        self.constraint(c * self.lagrange_last)
+
+
+class Stark:
+    """Base class for one STARK table."""
+
+    name: str = "stark"
+    num_columns: int = 0
+    num_public_inputs: int = 0
+    constraint_degree: int = 3
+
+    # Lookup/CTL metadata filled in by subclasses (see tables/, ctl.py):
+    def lookups(self):
+        return []
+
+    def requires_ctls(self):
+        return False
+
+    def eval(self, frame: StarkFrame, cc: ConstraintConsumer) -> None:
+        raise NotImplementedError
