@@ -1,0 +1,64 @@
+"""Benchmark: trace-commitment throughput (LDE + Poseidon-Merkle cap) on
+the real TPU chip.
+
+This is the reference prover's bottleneck operation ("the prover bottleneck
+is Merkle-tree construction over LDEs", /root/reference/book/src/framework/
+cost_model.md:2; invoked per table at evm_arithmetization/src/
+prover.rs:100-111). Metric: committed trace field-elements per second
+(polys * rows / wall), including the 2x LDE, full leaf hashing and tree
+reduction to a height-4 cap.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no absolute numbers (BASELINE.md); vs_baseline is
+measured against the round-1 recorded value of this same benchmark, so the
+ratio tracks progress across rounds.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+# Round-1 anchor (Melem/s on TPU v5 lite, first working commit pipeline).
+BASELINE_MELEM_S = 18.4
+
+POLYS = 64
+LOG_N = 15          # 2^15 rows -> 2^16-point LDE, 2M committed elements
+ITERS = 5
+
+
+def main() -> None:
+    import jax
+    from zk_evm_tpu.field import GF, host
+    from zk_evm_tpu.parallel import commit_cap
+
+    rng = np.random.default_rng(42)
+    values = rng.integers(0, host.P, size=(POLYS, 1 << LOG_N),
+                          dtype=np.uint64)
+    gf = GF.from_u64(values)
+
+    # warm-up / compile. NOTE: completion is forced by reading the (tiny)
+    # cap back to host — block_until_ready does not actually block on the
+    # axon tunnel backend.
+    cap = commit_cap(gf, cap_height=4)
+    cap.to_u64()
+
+    t0 = time.time()
+    for _ in range(ITERS):
+        cap = commit_cap(gf, cap_height=4)
+        cap.to_u64()
+    dt = (time.time() - t0) / ITERS
+
+    elems = POLYS * (1 << LOG_N)
+    melem_s = elems / dt / 1e6
+    print(json.dumps({
+        "metric": "trace_commit_throughput",
+        "value": round(melem_s, 2),
+        "unit": "Melem/s",
+        "vs_baseline": round(melem_s / BASELINE_MELEM_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
