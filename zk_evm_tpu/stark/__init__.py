@@ -4,9 +4,15 @@ from .stark import Stark, StarkFrame, ConstraintConsumer
 from .proof import StarkProof, StarkOpeningSet
 from .prover import prove_stark
 from .verifier import verify_stark
+from .lookup import (
+    Lookup, Filter, CtlView, CrossTableLookup, ChallengeSet,
+)
+from .multi import AllProof, prove_all, verify_all
 
 __all__ = [
     "StarkConfig", "FriConfig", "PolynomialBatch",
     "Stark", "StarkFrame", "ConstraintConsumer",
     "StarkProof", "StarkOpeningSet", "prove_stark", "verify_stark",
+    "Lookup", "Filter", "CtlView", "CrossTableLookup", "ChallengeSet",
+    "AllProof", "prove_all", "verify_all",
 ]

@@ -1,0 +1,154 @@
+"""Multi-table proving: the AllStark layer.
+
+Transcript follows SURVEY.md Appendix A (from /root/reference/
+evm_arithmetization/src/prover.rs:113-158 and get_challenges.rs): all trace
+caps observed in table order (zero-caps for unused optional tables), then
+public values, then the global CTL challenge set, then each table proves
+under the shared sequential challenger (each proof snapshots
+init_challenger_state). The global verifier additionally cross-checks the
+CTL running-sum totals across tables (verifier.rs:319's extra looking sums
+enter here).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..field import GF, host
+from ..challenger import Challenger
+from ..hash import poseidon_params as pp
+from .config import StarkConfig
+from .poly_batch import PolynomialBatch
+from .stark import Stark
+from .proof import StarkProof
+from .prover import prove_stark
+from .verifier import verify_stark
+from . import lookup
+
+
+@dataclass
+class AllProof:
+    proofs: list[StarkProof | None]      # None = table unused (skipped)
+    table_in_use: list[bool]
+    public_inputs: list[int] = field(default_factory=list)
+
+
+def _zero_cap(config: StarkConfig) -> list[list[int]]:
+    return [[0, 0, 0, 0] for _ in range(1 << config.cap_height)]
+
+
+def observe_global(challenger: Challenger, caps, public_inputs) -> None:
+    for cap in caps:
+        challenger.observe_cap(cap)
+    challenger.observe_elements(public_inputs)
+
+
+def prove_all(starks: list[Stark], traces: list[np.ndarray | None],
+              ctls: list[lookup.CrossTableLookup], config: StarkConfig,
+              public_inputs: list[int] | None = None) -> AllProof:
+    """Prove every in-use table under one transcript. traces[i] may be
+    None for unused optional tables (zero-cap observed, no proof)."""
+    public_inputs = public_inputs or []
+    table_in_use = [t is not None for t in traces]
+    for i, ctl in enumerate(ctls):
+        assert table_in_use[ctl.looked.table] or all(
+            not table_in_use[v.table] for v in ctl.looking), ctl.name
+
+    challenger = Challenger()
+    batches: list[PolynomialBatch | None] = []
+    caps = []
+    for stark, trace in zip(starks, traces):
+        if trace is None:
+            batches.append(None)
+            caps.append(_zero_cap(config))
+            continue
+        b = PolynomialBatch.from_values(
+            GF.from_u64(trace), rate_bits=config.rate_bits,
+            cap_height=config.cap_height)
+        batches.append(b)
+        caps.append(b.cap_ints())
+    observe_global(challenger, caps, public_inputs)
+    challenges = lookup.get_challenge_set(challenger, config.num_challenges)
+
+    proofs: list[StarkProof | None] = []
+    for t, (stark, trace) in enumerate(zip(starks, traces)):
+        if trace is None:
+            proofs.append(None)
+            continue
+        views = lookup.views_for_table(ctls, t)
+        proofs.append(prove_stark(
+            stark, trace, config, challenger,
+            challenges=challenges, ctl_views=views,
+            observe_trace_cap=False, trace_batch=batches[t]))
+    return AllProof(proofs=proofs, table_in_use=table_in_use,
+                    public_inputs=list(public_inputs))
+
+
+def verify_all(starks: list[Stark], all_proof: AllProof,
+               ctls: list[lookup.CrossTableLookup], config: StarkConfig,
+               extra_looking_sums: dict[int, list[int]] | None = None
+               ) -> None:
+    """Verify every table proof under the replayed transcript, then check
+    every CTL's global sum: sum of looking totals (+ extra looking sums,
+    keyed by CTL index, one value per challenge) == looked total."""
+    extra_looking_sums = extra_looking_sums or {}
+    challenger = Challenger()
+    caps = [p.trace_cap if p is not None else _zero_cap(config)
+            for p in all_proof.proofs]
+    observe_global(challenger, caps, all_proof.public_inputs)
+    challenges = lookup.get_challenge_set(challenger, config.num_challenges)
+
+    for t, (stark, proof) in enumerate(zip(starks, all_proof.proofs)):
+        if proof is None:
+            assert not all_proof.table_in_use[t]
+            continue
+        views = lookup.views_for_table(ctls, t)
+        verify_stark(stark, proof, config, challenger,
+                     challenges=challenges, ctl_views=views,
+                     observe_trace_cap=False)
+
+    # ---- global CTL sum check ------------------------------------------
+    totals = _collect_ctl_totals(starks, all_proof, ctls, challenges)
+    nc = len(challenges.pairs)
+    for ci, ctl in enumerate(ctls):
+        for c in range(nc):
+            looking = 0
+            for v in ctl.looking:
+                looking = host.fadd(looking, totals[(ci, id(v), c)])
+            extra = extra_looking_sums.get(ci)
+            if extra is not None:
+                looking = host.fadd(looking, extra[c])
+            looked = totals[(ci, id(ctl.looked), c)]
+            assert looking == looked, \
+                f"CTL '{ctl.name}' unbalanced (challenge {c})"
+
+
+def _collect_ctl_totals(starks, all_proof: AllProof, ctls, challenges):
+    """Map (ctl_index, view_id, challenge) -> exported Z(first) total.
+    Unused tables contribute zero."""
+    totals = {}
+    nc = len(challenges.pairs)
+    for t, proof in enumerate(all_proof.proofs):
+        table_views = []
+        for ci, ctl in enumerate(ctls):
+            for v in ctl.looking:
+                if v.table == t:
+                    table_views.append((ci, v))
+            if ctl.looked.table == t:
+                table_views.append((ci, ctl.looked))
+        if proof is None:
+            for ci, v in table_views:
+                for c in range(nc):
+                    totals[(ci, id(v), c)] = 0
+            continue
+        zs = proof.openings.ctl_zs_first
+        assert len(zs) == nc * len(table_views), \
+            f"table {t}: ctl_zs_first count mismatch"
+        k = 0
+        for c in range(nc):
+            for ci, v in table_views:
+                totals[(ci, id(v), c)] = zs[k]
+                k += 1
+    return totals

@@ -1,16 +1,17 @@
-"""Single-table STARK prover.
+"""Single-table STARK prover (with logUp / CTL auxiliary columns).
 
 Counterpart of the reference's per-table proving path (`prove_single_table`
 wrapping starky::prove_with_commitment at /root/reference/
 evm_arithmetization/src/prover.rs:301-338). Device does all O(n)-and-up
-work: commitments (NTT+Merkle), whole-LDE constraint evaluation, quotient
+work: commitments (NTT+Merkle), aux-column generation (batched inverses +
+associative-scan running sums), whole-LDE constraint evaluation, quotient
 interpolation, FRI. Host does transcript sequencing only.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import jax
+import jax.numpy as jnp
 
 from ..field import GF, host
 from .. import ntt
@@ -19,10 +20,12 @@ from .config import StarkConfig
 from .poly_batch import PolynomialBatch
 from .stark import Stark, StarkFrame, ConstraintConsumer
 from .proof import StarkProof, StarkOpeningSet
-from . import domains, fri
+from . import domains, fri, lookup
 
 
 def _quotient_chunks(stark: Stark, trace_batch: PolynomialBatch,
+                     aux_batch: PolynomialBatch | None,
+                     lookups, views, challenges,
                      alphas: list[int], config: StarkConfig,
                      public_inputs: list[int]) -> GF:
     """Evaluate the constraint composition over the LDE coset and return
@@ -33,14 +36,21 @@ def _quotient_chunks(stark: Stark, trace_batch: PolynomialBatch,
     m = 1 << log_m
 
     lde = trace_batch.lde                       # (cols, m) bitrev
-    perm = domains.next_row_perm_bitrev(log_m, rate_bits)
-    import jax.numpy as jnp
-    next_lde = lde.take(jnp.asarray(perm), axis=-1)
+    perm = jnp.asarray(domains.next_row_perm_bitrev(log_m, rate_bits))
+    next_lde = lde.take(perm, axis=-1)
     sel = domains.selector_tables_bitrev(degree_bits, rate_bits)
+
+    aux_local, aux_next = [], []
+    if aux_batch is not None:
+        aux_lde = aux_batch.lde
+        aux_next_lde = aux_lde.take(perm, axis=-1)
+        aux_local = [aux_lde[i] for i in range(aux_batch.num_polys)]
+        aux_next = [aux_next_lde[i] for i in range(aux_batch.num_polys)]
 
     frame = StarkFrame(
         local=[lde[i] for i in range(stark.num_columns)],
         next_=[next_lde[i] for i in range(stark.num_columns)],
+        aux_local=aux_local, aux_next=aux_next,
         public_inputs=public_inputs)
     cc = ConstraintConsumer(
         alphas=alphas,
@@ -49,74 +59,131 @@ def _quotient_chunks(stark: Stark, trace_batch: PolynomialBatch,
         lagrange_first=GF.from_u64(sel["l_first"]),
         lagrange_last=GF.from_u64(sel["l_last"]))
     stark.eval(frame, cc)
+    if lookups or views:
+        lookup.eval_aux_constraints(lookups, views, challenges, frame, cc)
 
     zh_inv = GF.from_u64(sel["zh_inv"])
     q_vals = GF.stack([acc * zh_inv for acc in cc.accs], axis=0)
     coeffs = ntt.coset_ifft_from_bitrev(q_vals)      # (nc, m)
     n = 1 << degree_bits
-    chunks = coeffs.reshape(len(alphas) << rate_bits, n)
-    return chunks
+    return coeffs.reshape(len(alphas) << rate_bits, n)
 
 
 def prove_stark(stark: Stark, trace: np.ndarray, config: StarkConfig,
                 challenger: Challenger,
-                public_inputs: list[int] | None = None) -> StarkProof:
+                public_inputs: list[int] | None = None,
+                challenges: lookup.ChallengeSet | None = None,
+                ctl_views: list[lookup.CtlView] | None = None,
+                observe_trace_cap: bool = True,
+                trace_batch: PolynomialBatch | None = None) -> StarkProof:
+    """Prove one table. In multi-table mode (AllStark) the caller commits
+    the trace, observes every cap globally, draws the shared CTL challenge
+    set, and passes challenges/ctl_views/trace_batch in."""
     public_inputs = public_inputs or []
-    assert trace.shape[0] == stark.num_columns
+    views = list(ctl_views or [])
+    lookups = stark.lookups()
     n = trace.shape[1]
     degree_bits = n.bit_length() - 1
     assert 1 << degree_bits == n
+    assert trace.shape[0] == stark.num_columns
     fri_cfg = config.fri_config
 
-    init_state = challenger.compact()
-
-    # 1. trace commitment
-    trace_batch = PolynomialBatch.from_values(
-        GF.from_u64(trace), rate_bits=config.rate_bits,
-        cap_height=config.cap_height)
+    trace_gf = GF.from_u64(trace)
+    if trace_batch is None:
+        trace_batch = PolynomialBatch.from_values(
+            trace_gf, rate_bits=config.rate_bits,
+            cap_height=config.cap_height)
     trace_cap = trace_batch.cap_ints()
-    challenger.observe_cap(trace_cap)
+
+    init_state = challenger.compact()
+    if observe_trace_cap:
+        challenger.observe_cap(trace_cap)
+
+    # 1. lookup/CTL challenges + aux commitment
+    aux_batch = None
+    aux_cap = None
+    if lookups or views:
+        if challenges is None:
+            challenges = lookup.get_challenge_set(
+                challenger, config.num_challenges)
+        aux_gf = lookup.generate_aux_trace(trace_gf, lookups, views,
+                                           challenges)
+        aux_batch = PolynomialBatch.from_values(
+            aux_gf, rate_bits=config.rate_bits,
+            cap_height=config.cap_height)
+        aux_cap = aux_batch.cap_ints()
+        challenger.observe_cap(aux_cap)
 
     # 2. constraint-folding challenges + quotient commitment
     alphas = challenger.get_n_challenges(config.num_challenges)
-    chunks = _quotient_chunks(stark, trace_batch, alphas, config,
+    chunks = _quotient_chunks(stark, trace_batch, aux_batch, lookups,
+                              views, challenges, alphas, config,
                               public_inputs)
     quotient_batch = PolynomialBatch.from_coeffs(
         chunks, rate_bits=config.rate_bits, cap_height=config.cap_height)
     quotient_cap = quotient_batch.cap_ints()
     challenger.observe_cap(quotient_cap)
 
-    # 3. openings at zeta / zeta*g
+    # 3. openings at zeta / zeta*g (and x=1 for CTL running sums)
     zeta = challenger.get_extension_challenge()
     g = host.primitive_root_of_unity(degree_bits)
     zeta_next = host.emul(zeta, (g, 0))
     t_open = trace_batch.open_at([zeta, zeta_next])
     q_open = quotient_batch.open_at([zeta])
+    aux_local_open, aux_next_open, ctl_zs_first = [], [], []
+    z_idxs: list[int] = []
+    if aux_batch is not None:
+        a_open = aux_batch.open_at([zeta, zeta_next, (1, 0)])
+        aux_local_open = [tuple(map(int, v)) for v in a_open[0]]
+        aux_next_open = [tuple(map(int, v)) for v in a_open[1]]
+        z_idxs = lookup.ctl_z_first_indices(lookups, views, challenges)
+        for i in z_idxs:
+            a, b = int(a_open[2, i, 0]), int(a_open[2, i, 1])
+            assert b == 0, "CTL Z opening at x=1 must be base-field"
+            ctl_zs_first.append(a)
     openings = StarkOpeningSet(
         trace_local=[tuple(map(int, v)) for v in t_open[0]],
         trace_next=[tuple(map(int, v)) for v in t_open[1]],
-        aux_local=[], aux_next=[], ctl_zs_first=[],
+        aux_local=aux_local_open, aux_next=aux_next_open,
+        ctl_zs_first=ctl_zs_first,
         quotient=[tuple(map(int, v)) for v in q_open[0]])
     challenger.observe_elements(openings.observe_order())
 
     # 4. FRI batched opening proof
     alpha = challenger.get_extension_challenge()
+    oracles = [trace_batch]
+    zeta_entries = [(0, i) for i in range(trace_batch.num_polys)]
+    zeta_values = list(openings.trace_local)
+    next_entries = [(0, i) for i in range(trace_batch.num_polys)]
+    next_values = list(openings.trace_next)
+    if aux_batch is not None:
+        aidx = len(oracles)
+        oracles.append(aux_batch)
+        zeta_entries += [(aidx, i) for i in range(aux_batch.num_polys)]
+        zeta_values += list(openings.aux_local)
+        next_entries += [(aidx, i) for i in range(aux_batch.num_polys)]
+        next_values += list(openings.aux_next)
+    qidx = len(oracles)
+    oracles.append(quotient_batch)
+    zeta_entries += [(qidx, j) for j in range(quotient_batch.num_polys)]
+    zeta_values += list(openings.quotient)
     batches = [
-        fri.FriOpeningBatch(
-            point=zeta,
-            entries=[(0, i) for i in range(trace_batch.num_polys)]
-            + [(1, j) for j in range(quotient_batch.num_polys)],
-            values=openings.trace_local + openings.quotient),
-        fri.FriOpeningBatch(
-            point=zeta_next,
-            entries=[(0, i) for i in range(trace_batch.num_polys)],
-            values=openings.trace_next),
+        fri.FriOpeningBatch(point=zeta, entries=zeta_entries,
+                            values=zeta_values),
+        fri.FriOpeningBatch(point=zeta_next, entries=next_entries,
+                            values=next_values),
     ]
-    fri_proof = fri.prove_fri([trace_batch, quotient_batch], batches,
-                              alpha, degree_bits, challenger, fri_cfg)
+    if ctl_zs_first:
+        aidx = 1
+        batches.append(fri.FriOpeningBatch(
+            point=(1, 0),
+            entries=[(aidx, i) for i in z_idxs],
+            values=[(v, 0) for v in openings.ctl_zs_first]))
+    fri_proof = fri.prove_fri(oracles, batches, alpha, degree_bits,
+                              challenger, fri_cfg)
 
     return StarkProof(degree_bits=degree_bits, trace_cap=trace_cap,
-                      aux_cap=None, quotient_cap=quotient_cap,
+                      aux_cap=aux_cap, quotient_cap=quotient_cap,
                       openings=openings, fri_proof=fri_proof,
                       init_challenger_state=init_state,
                       public_inputs=list(public_inputs))

@@ -13,13 +13,16 @@ from __future__ import annotations
 class StarkFrame:
     """Constraint inputs: column values on the current and next row (for
     the prover these are (m,)-shaped GF arrays; for the verifier HExt
-    scalars), plus public inputs as plain ints."""
+    scalars), plus auxiliary (lookup/CTL) columns and public inputs."""
 
-    __slots__ = ("local", "next", "public_inputs")
+    __slots__ = ("local", "next", "aux_local", "aux_next", "public_inputs")
 
-    def __init__(self, local, next_, public_inputs=None):
+    def __init__(self, local, next_, public_inputs=None,
+                 aux_local=None, aux_next=None):
         self.local = local
         self.next = next_
+        self.aux_local = aux_local or []
+        self.aux_next = aux_next or []
         self.public_inputs = public_inputs or []
 
 

@@ -11,24 +11,43 @@ from ..challenger import Challenger
 from .config import StarkConfig
 from .stark import Stark, StarkFrame, ConstraintConsumer
 from .proof import StarkProof
-from . import domains, fri
+from . import domains, fri, lookup
 
 
 def verify_stark(stark: Stark, proof: StarkProof, config: StarkConfig,
-                 challenger: Challenger) -> None:
+                 challenger: Challenger,
+                 challenges: lookup.ChallengeSet | None = None,
+                 ctl_views: list[lookup.CtlView] | None = None,
+                 observe_trace_cap: bool = True) -> None:
     """Raises AssertionError on any failure. `challenger` must be at the
     same transcript position as the prover's on entry."""
     fri_cfg = config.fri_config
     degree_bits = proof.degree_bits
     n = 1 << degree_bits
     ops = proof.openings
+    views = list(ctl_views or [])
+    lookups = stark.lookups()
+    has_aux = bool(lookups or views)
 
     assert len(ops.trace_local) == stark.num_columns
     assert len(ops.trace_next) == stark.num_columns
     assert len(ops.quotient) == config.num_challenges << config.rate_bits
 
     challenger.compact()
-    challenger.observe_cap(proof.trace_cap)
+    if observe_trace_cap:
+        challenger.observe_cap(proof.trace_cap)
+    if has_aux:
+        if challenges is None:
+            challenges = lookup.get_challenge_set(
+                challenger, config.num_challenges)
+        num_aux = lookup.num_aux_columns(lookups, views,
+                                         len(challenges.pairs))
+        assert len(ops.aux_local) == num_aux
+        assert len(ops.aux_next) == num_aux
+        assert proof.aux_cap is not None
+        challenger.observe_cap(proof.aux_cap)
+        z_idxs = lookup.ctl_z_first_indices(lookups, views, challenges)
+        assert len(ops.ctl_zs_first) == len(z_idxs)
     alphas = challenger.get_n_challenges(config.num_challenges)
     challenger.observe_cap(proof.quotient_cap)
     zeta = challenger.get_extension_challenge()
@@ -41,11 +60,15 @@ def verify_stark(stark: Stark, proof: StarkProof, config: StarkConfig,
     frame = StarkFrame(
         local=[HExt(v) for v in ops.trace_local],
         next_=[HExt(v) for v in ops.trace_next],
+        aux_local=[HExt(v) for v in ops.aux_local],
+        aux_next=[HExt(v) for v in ops.aux_next],
         public_inputs=list(proof.public_inputs))
     cc = ConstraintConsumer(
         alphas=alphas, zero=HExt.zero(), z_last=HExt(z_last),
         lagrange_first=HExt(l_first), lagrange_last=HExt(l_last))
     stark.eval(frame, cc)
+    if has_aux:
+        lookup.eval_aux_constraints(lookups, views, challenges, frame, cc)
 
     zeta_pow_n = HExt(host.eexp(zeta, n))
     chunks_per = 1 << config.rate_bits
@@ -62,17 +85,33 @@ def verify_stark(stark: Stark, proof: StarkProof, config: StarkConfig,
     challenger.observe_elements(ops.observe_order())
     alpha = challenger.get_extension_challenge()
     num_trace = stark.num_columns
-    num_q = len(ops.quotient)
+    oracle_caps = [proof.trace_cap]
+    zeta_entries = [(0, i) for i in range(num_trace)]
+    zeta_values = list(ops.trace_local)
+    next_entries = [(0, i) for i in range(num_trace)]
+    next_values = list(ops.trace_next)
+    if has_aux:
+        aidx = len(oracle_caps)
+        oracle_caps.append(proof.aux_cap)
+        num_aux = len(ops.aux_local)
+        zeta_entries += [(aidx, i) for i in range(num_aux)]
+        zeta_values += list(ops.aux_local)
+        next_entries += [(aidx, i) for i in range(num_aux)]
+        next_values += list(ops.aux_next)
+    qidx = len(oracle_caps)
+    oracle_caps.append(proof.quotient_cap)
+    zeta_entries += [(qidx, j) for j in range(len(ops.quotient))]
+    zeta_values += list(ops.quotient)
     batches = [
-        fri.FriOpeningBatch(
-            point=zeta,
-            entries=[(0, i) for i in range(num_trace)]
-            + [(1, j) for j in range(num_q)],
-            values=list(ops.trace_local) + list(ops.quotient)),
-        fri.FriOpeningBatch(
-            point=zeta_next,
-            entries=[(0, i) for i in range(num_trace)],
-            values=list(ops.trace_next)),
+        fri.FriOpeningBatch(point=zeta, entries=zeta_entries,
+                            values=zeta_values),
+        fri.FriOpeningBatch(point=zeta_next, entries=next_entries,
+                            values=next_values),
     ]
-    fri.verify_fri([proof.trace_cap, proof.quotient_cap], batches, alpha,
-                   degree_bits, proof.fri_proof, challenger, fri_cfg)
+    if has_aux and ops.ctl_zs_first:
+        batches.append(fri.FriOpeningBatch(
+            point=(1, 0),
+            entries=[(1, i) for i in z_idxs],
+            values=[(v, 0) for v in ops.ctl_zs_first]))
+    fri.verify_fri(oracle_caps, batches, alpha, degree_bits,
+                   proof.fri_proof, challenger, fri_cfg)
