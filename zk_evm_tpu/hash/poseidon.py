@@ -35,23 +35,55 @@ def _rc_gf() -> GF:
     return GF.from_u64(pp.round_constants_np())
 
 
-def _mds(state: GF) -> GF:
-    """Circulant-MDS multiply along the last axis (size 12)."""
+@lru_cache(maxsize=1)
+def _mds_matrix_np() -> np.ndarray:
+    """(12, 12) float32 coefficient matrix C with out = in @ C:
+    C[j][r] = circ[(j - r) mod 12] + diag[r]*(j == r)."""
     params = pp.default_params()
     w = params.width
+    c = np.zeros((w, w), dtype=np.float32)
+    for r in range(w):
+        for j in range(w):
+            c[j, r] = params.mds_circ[(j - r) % w]
+        c[r, r] += params.mds_diag[r]
+    return c
+
+
+def _mds(state: GF) -> GF:
+    """Circulant-MDS multiply along the last axis (size 12).
+
+    TPU path: each element splits into 8 bytes; each byte-plane multiplies
+    the small coefficient matrix as an exact float32 matmul (products <=
+    255*41, sums <= 2^17 — well inside f32's 24-bit exactness window), so
+    the whole MDS rides the MXU. CPU path (tests): 16-bit-limb
+    roll-accumulate — XLA-CPU compiles tiny-K dots inside scan bodies
+    pathologically slowly. Both paths produce identical field elements
+    (the TPU path is checked against the exact host twin in /verify)."""
+    params = pp.default_params()
     lo, hi = state.lo, state.hi
-    limbs = (lo & MASK16, lo >> 16, hi & MASK16, hi >> 16)
-    # acc_k = sum_i circ[i] * roll(limb_k, -i) + diag * limb_k
-    acc = [None] * 4
-    for i, c in enumerate(params.mds_circ):
-        cc = np.uint32(c)
-        for k in range(4):
-            term = jnp.roll(limbs[k], -i, axis=-1) * cc
-            acc[k] = term if acc[k] is None else acc[k] + term
-    diag = np.array(params.mds_diag, dtype=np.uint32)
-    for k in range(4):
-        acc[k] = acc[k] + limbs[k] * diag
-    # carry-propagate 4x~24-bit limb sums into a 96-bit value, then reduce.
+    if jax.default_backend() == "cpu":
+        limbs = (lo & MASK16, lo >> 16, hi & MASK16, hi >> 16)
+        acc4 = [None] * 4
+        for i, c in enumerate(params.mds_circ):
+            cc = np.uint32(c)
+            for k in range(4):
+                term = jnp.roll(limbs[k], -i, axis=-1) * cc
+                acc4[k] = term if acc4[k] is None else acc4[k] + term
+        diag = np.array(params.mds_diag, dtype=np.uint32)
+        acc = [acc4[k] + limbs[k] * diag for k in range(4)]
+    else:
+        mask8 = np.uint32(0xFF)
+        planes = jnp.stack([
+            (lo & mask8), (lo >> 8) & mask8, (lo >> 16) & mask8, lo >> 24,
+            (hi & mask8), (hi >> 8) & mask8, (hi >> 16) & mask8, hi >> 24,
+        ], axis=0).astype(jnp.float32)                  # (8, ..., 12)
+        mat = jnp.asarray(_mds_matrix_np())
+        flat = planes.reshape(-1, planes.shape[-1])     # 2D GEMM shape
+        s = jnp.dot(flat, mat, preferred_element_type=jnp.float32) \
+            .reshape(planes.shape).astype(jnp.uint32)
+        # w_k = s_{2k} + s_{2k+1} * 256  (< 2^26), k = 0..3
+        acc = [s[2 * k] + (s[2 * k + 1] << 8) for k in range(4)]
+    # carry-propagate 4x~26-bit limb sums into a 96-bit value, then reduce.
     t0 = acc[0] & MASK16
     c0 = acc[0] >> 16
     s1 = acc[1] + c0

@@ -6,6 +6,7 @@ from .prover import prove_stark
 from .verifier import verify_stark
 from .lookup import (
     Lookup, Filter, CtlView, CrossTableLookup, ChallengeSet,
+    ColExpr, col, col_next,
 )
 from .multi import AllProof, prove_all, verify_all
 
@@ -14,5 +15,6 @@ __all__ = [
     "Stark", "StarkFrame", "ConstraintConsumer",
     "StarkProof", "StarkOpeningSet", "prove_stark", "verify_stark",
     "Lookup", "Filter", "CtlView", "CrossTableLookup", "ChallengeSet",
+    "ColExpr", "col", "col_next",
     "AllProof", "prove_all", "verify_all",
 ]

@@ -38,12 +38,68 @@ from ..field import GF, host
 # ---------------------------------------------------------------------------
 
 @dataclass(frozen=True)
+class ColExpr:
+    """Linear combination of trace columns (current and/or next row) plus a
+    constant — the reference's `Column` (starky::lookup::Column; e.g. the
+    Memory table looks up next-row addr_virtual, BytePacking's CTL exposes
+    packed u32 limbs as byte combinations)."""
+    terms: tuple[tuple[int, int], ...] = ()        # (column, coeff)
+    next_terms: tuple[tuple[int, int], ...] = ()   # next-row (column, coeff)
+    const: int = 0
+
+    def eval(self, local, nxt=None):
+        acc = None
+        for c, k in self.terms:
+            t = local[c] * (k % host.P)
+            acc = t if acc is None else acc + t
+        for c, k in self.next_terms:
+            t = nxt[c] * (k % host.P)
+            acc = t if acc is None else acc + t
+        if self.const:
+            acc = self.const if acc is None else acc + self.const
+        if acc is None:
+            return 0
+        return acc
+
+    def eval_np(self, trace: np.ndarray) -> np.ndarray:
+        from ..field import np_field
+        n = trace.shape[1]
+        acc = np.full(n, np.uint64(self.const % host.P), dtype=np.uint64)
+        for c, k in self.terms:
+            acc = np_field.add(acc, np_field.mul(trace[c],
+                                                 np.uint64(k % host.P)))
+        for c, k in self.next_terms:
+            rolled = np.roll(trace[c], -1)
+            acc = np_field.add(acc, np_field.mul(rolled,
+                                                 np.uint64(k % host.P)))
+        return acc
+
+    def uses_next(self) -> bool:
+        return bool(self.next_terms)
+
+
+def col(c: int) -> ColExpr:
+    return ColExpr(terms=((c, 1),))
+
+
+def col_next(c: int) -> ColExpr:
+    return ColExpr(next_terms=((c, 1),))
+
+
+def _coerce_expr(x) -> ColExpr:
+    return x if isinstance(x, ColExpr) else col(x)
+
+
+@dataclass(frozen=True)
 class Lookup:
-    """In-table logUp: every value of each looking column appears in
-    `table_column`; `frequencies_column` holds the multiplicities."""
-    looking_columns: tuple[int, ...]
-    table_column: int
-    frequencies_column: int
+    """In-table logUp: every value of each looking column (expression)
+    appears in `table_column`; `frequencies_column` holds the
+    multiplicities. `filters` (optional, per looking column) restrict
+    which rows contribute."""
+    looking_columns: tuple
+    table_column: int | ColExpr = 0
+    frequencies_column: int = 0
+    filters: tuple | None = None           # per looking column, or None
 
     def num_helpers(self) -> int:
         return (len(self.looking_columns) + 1) // 2 + 1  # + table helper
@@ -51,15 +107,22 @@ class Lookup:
 
 @dataclass(frozen=True)
 class Filter:
-    """Row filter: product of up to two columns, or a constant-1 (None)."""
+    """Row filter: a column, a product of two columns, a sum of columns,
+    or constant-1 (all fields None)."""
     column: int | None = None
     product: tuple[int, int] | None = None
+    sum_cols: tuple[int, ...] | None = None
 
     def eval(self, local):
         """In either algebra, from local column values."""
         if self.product is not None:
             a, b = self.product
             return local[a] * local[b]
+        if self.sum_cols is not None:
+            acc = local[self.sum_cols[0]]
+            for c in self.sum_cols[1:]:
+                acc = acc + local[c]
+            return acc
         if self.column is not None:
             return local[self.column]
         return None  # constant 1
@@ -69,6 +132,11 @@ class Filter:
         if self.product is not None:
             a, b = self.product
             return np_field.mul(trace[a], trace[b])
+        if self.sum_cols is not None:
+            acc = trace[self.sum_cols[0]].astype(np.uint64)
+            for c in self.sum_cols[1:]:
+                acc = np_field.add(acc, trace[c])
+            return acc
         if self.column is not None:
             return trace[self.column].astype(np.uint64)
         return np.ones(trace.shape[1], dtype=np.uint64)
@@ -142,11 +210,13 @@ def _gf_suffix_sum(x: GF) -> GF:
     return GF(lo, hi)
 
 
-def _combine(local, columns, gamma: int):
-    acc = local[columns[0]]
+def _combine(local, nxt, columns, gamma: int):
+    """gamma-weighted combination of column expressions."""
+    exprs = [_coerce_expr(c) for c in columns]
+    acc = exprs[0].eval(local, nxt)
     gp = gamma
-    for c in columns[1:]:
-        acc = acc + local[c] * gp
+    for e in exprs[1:]:
+        acc = acc + e.eval(local, nxt) * gp
         gp = host.fmul(gp, gamma)
     return acc
 
@@ -157,27 +227,40 @@ def generate_aux_trace(trace_gf: GF, lookups: list[Lookup],
     """Build all aux columns for one table. trace_gf: (cols, n).
     Returns (num_aux, n) GF or None if no aux needed."""
     cols = [trace_gf[i] for i in range(trace_gf.shape[0])]
+    nxt = [c.roll(-1, axis=-1) for c in cols] if any(
+        _coerce_expr(e).uses_next()
+        for lk in lookups for e in list(lk.looking_columns)
+        + [lk.table_column]) or any(
+        _coerce_expr(c).uses_next() for v in views for c in v.columns) \
+        else cols
     out: list[GF] = []
     for beta, gamma in challenges.pairs:
         b = GF.const(beta)
+
+        def term(expr, filt):
+            h = (b + _coerce_expr(expr).eval(cols, nxt)).inv()
+            f = filt.eval(cols) if filt is not None else None
+            return h if f is None else h * f
+
         for lk in lookups:
             delta = None
-            lc = lk.looking_columns
+            lc = list(lk.looking_columns)
+            filts = list(lk.filters) if lk.filters else [None] * len(lc)
             for i in range(0, len(lc) - 1, 2):
-                h = (b + cols[lc[i]]).inv() + (b + cols[lc[i + 1]]).inv()
+                h = term(lc[i], filts[i]) + term(lc[i + 1], filts[i + 1])
                 out.append(h)
                 delta = h if delta is None else delta + h
             if len(lc) % 2 == 1:
-                h = (b + cols[lc[-1]]).inv()
+                h = term(lc[-1], filts[-1])
                 out.append(h)
                 delta = h if delta is None else delta + h
             ht = cols[lk.frequencies_column] * \
-                (b + cols[lk.table_column]).inv()
+                (b + _coerce_expr(lk.table_column).eval(cols, nxt)).inv()
             out.append(ht)
             delta = delta - ht
             out.append(_gf_suffix_sum(delta))
         for v in views:
-            combined = _combine(cols, v.columns, gamma)
+            combined = _combine(cols, nxt, v.columns, gamma)
             f = v.filter.eval(cols)
             h = (b + combined).inv()
             if f is not None:
@@ -198,27 +281,37 @@ def eval_aux_constraints(lookups: list[Lookup], views: list[CtlView],
     """Append all lookup/CTL constraints to the consumer. `frame` must
     carry aux_local / aux_next aligned with generate_aux_trace's layout."""
     local = frame.local
+    nxt = frame.next
     aux = frame.aux_local
     aux_next = frame.aux_next
     k = 0
     for beta, gamma in challenges.pairs:
         for lk in lookups:
             delta = None
-            lc = lk.looking_columns
+            lc = list(lk.looking_columns)
+            filts = list(lk.filters) if lk.filters else [None] * len(lc)
+
+            def cf(i):
+                c = _coerce_expr(lc[i]).eval(local, nxt) + beta
+                f = filts[i].eval(local) if filts[i] is not None else 1
+                return c, f
+
             for i in range(0, len(lc) - 1, 2):
                 h = aux[k]
-                c1 = local[lc[i]] + beta
-                c2 = local[lc[i + 1]] + beta
-                cc.constraint(h * c1 * c2 - (c1 + c2))
+                c1, f1 = cf(i)
+                c2, f2 = cf(i + 1)
+                cc.constraint(h * c1 * c2 - (f1 * c2 + f2 * c1))
                 delta = h if delta is None else delta + h
                 k += 1
             if len(lc) % 2 == 1:
                 h = aux[k]
-                cc.constraint(h * (local[lc[-1]] + beta) - 1)
+                c1, f1 = cf(len(lc) - 1)
+                cc.constraint(h * c1 - f1)
                 delta = h if delta is None else delta + h
                 k += 1
             ht = aux[k]
-            cc.constraint(ht * (local[lk.table_column] + beta)
+            tcol = _coerce_expr(lk.table_column).eval(local, nxt)
+            cc.constraint(ht * (tcol + beta)
                           - local[lk.frequencies_column])
             delta = delta - ht
             k += 1
@@ -230,7 +323,7 @@ def eval_aux_constraints(lookups: list[Lookup], views: list[CtlView],
             k += 1
         for v in views:
             h = aux[k]
-            combined = _combine(local, v.columns, gamma) + beta
+            combined = _combine(local, nxt, v.columns, gamma) + beta
             f = v.filter.eval(local)
             rhs = 1 if f is None else f
             cc.constraint(h * combined - rhs)

@@ -1,3 +1,10 @@
 from .logic import LogicStark
+from .arithmetic import ArithmeticStark
+from .byte_packing import BytePackingStark
+from .memory import MemoryStark
+from .memory_continuation import MemoryContinuationStark
 
-__all__ = ["LogicStark"]
+__all__ = [
+    "LogicStark", "ArithmeticStark", "BytePackingStark", "MemoryStark",
+    "MemoryContinuationStark",
+]

@@ -1,0 +1,291 @@
+"""Memory table: the ordered memory argument.
+
+Functional twin of the reference's memory table (30 columns; /root/
+reference/evm_arithmetization/src/memory/{columns.rs,memory_stark.rs},
+spec book/src/tables/memory.md). Rows are memory operations sorted by
+(context, segment, virtual, timestamp); consecutive-row constraints
+enforce the ordering via first-change flags and a range-checked delta
+column; reads repeat the previous value; fresh addresses outside the
+preinitialized segments read zero. Context pruning marks stale contexts
+through an in-table lookup; surviving final values feed MemAfter.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..stark import Stark, Lookup, Filter, ColExpr, col, col_next
+from .segments import Segment, PREINITIALIZED_SEGMENTS
+
+VALUE_LIMBS = 8
+
+FILTER = 0
+TIMESTAMP = 1
+TIMESTAMP_INV = 2
+IS_READ = 3
+ADDR_CONTEXT = 4
+ADDR_SEGMENT = 5
+ADDR_VIRTUAL = 6
+VALUE_COLS = list(range(7, 7 + VALUE_LIMBS))
+CONTEXT_FIRST_CHANGE = VALUE_COLS[-1] + 1
+SEGMENT_FIRST_CHANGE = CONTEXT_FIRST_CHANGE + 1
+VIRTUAL_FIRST_CHANGE = SEGMENT_FIRST_CHANGE + 1
+INITIALIZE_AUX = VIRTUAL_FIRST_CHANGE + 1
+PREINITIALIZED_SEGMENTS_COL = INITIALIZE_AUX + 1
+PREINITIALIZED_SEGMENTS_AUX = PREINITIALIZED_SEGMENTS_COL + 1
+STALE_CONTEXTS = PREINITIALIZED_SEGMENTS_AUX + 1
+IS_PRUNED = STALE_CONTEXTS + 1
+STALE_CONTEXT_FREQUENCIES = IS_PRUNED + 1
+IS_STALE = STALE_CONTEXT_FREQUENCIES + 1
+MAYBE_IN_MEM_AFTER = IS_STALE + 1
+MEM_AFTER_FILTER = MAYBE_IN_MEM_AFTER + 1
+RANGE_CHECK = MEM_AFTER_FILTER + 1
+COUNTER = RANGE_CHECK + 1
+FREQUENCIES = COUNTER + 1
+NUM_COLUMNS = FREQUENCIES + 1
+
+
+@dataclass
+class MemoryOp:
+    filter: bool
+    timestamp: int
+    context: int
+    segment: int          # unscaled index
+    virt: int
+    is_read: bool
+    value: int            # u256
+
+    def sorting_key(self):
+        return (self.context, self.segment, self.virt, self.timestamp)
+
+
+def dummy_read(context, segment, virt, timestamp, value=0) -> MemoryOp:
+    return MemoryOp(False, timestamp, context, segment, virt, True, value)
+
+
+def fill_gaps(ops: list[MemoryOp]) -> None:
+    """Insert dummy reads so every ordering delta fits the range check
+    (memory_stark.rs:296-355)."""
+    if ops[0].virt != 0:
+        ops.insert(0, dummy_read(0, 0, 0, 1))
+    max_rc = (1 << (len(ops) - 1).bit_length()) - 1 if len(ops) > 1 else 0
+    snapshot = list(ops)
+    for i in range(len(snapshot) - 1):
+        curr, nxt = snapshot[i], snapshot[i + 1]
+        if curr.context != nxt.context or curr.segment != nxt.segment:
+            while nxt.virt > max_rc:
+                d = dummy_read(nxt.context, nxt.segment, nxt.virt - max_rc,
+                               curr.timestamp + 1)
+                ops.append(d)
+                nxt = d
+        elif curr.virt != nxt.virt:
+            while nxt.virt - curr.virt - 1 > max_rc:
+                d = dummy_read(curr.context, curr.segment,
+                               curr.virt + max_rc + 1, curr.timestamp + 1)
+                ops.append(d)
+                curr = d
+        else:
+            while nxt.timestamp - curr.timestamp > max_rc:
+                d = dummy_read(curr.context, curr.segment, curr.virt,
+                               curr.timestamp + max_rc, curr.value)
+                ops.append(d)
+                curr = d
+
+
+def generate_trace(memory_ops: list[MemoryOp],
+                   mem_before_values=(),
+                   stale_contexts: list[int] = ()):
+    """Returns (trace, mem_after_values). mem_before_values: list of
+    ((context, segment, virt), value) written at timestamp 0."""
+    ops = list(memory_ops)
+    for (ctx, seg, virt), val in mem_before_values:
+        ops.append(MemoryOp(True, 0, ctx, seg, virt, False, val))
+    assert ops, "no memory ops"
+    ops.sort(key=MemoryOp.sorting_key)
+    fill_gaps(ops)
+    ops.sort(key=MemoryOp.sorting_key)
+    # pad with dummy reads one past the last address
+    last = ops[-1]
+    pad = dummy_read(last.context, last.segment, last.virt + 1,
+                     last.timestamp + 1)
+    n = 1 << len(ops).bit_length()      # >= len+1 padding row
+    while len(ops) < n:
+        ops.append(pad)
+    ops.sort(key=MemoryOp.sorting_key)
+
+    trace = np.zeros((NUM_COLUMNS, n), dtype=np.uint64)
+    for r, op in enumerate(ops):
+        trace[FILTER, r] = int(op.filter)
+        trace[TIMESTAMP, r] = op.timestamp
+        if op.timestamp:
+            from ..field import host
+            trace[TIMESTAMP_INV, r] = host.finv(op.timestamp)
+        trace[IS_READ, r] = int(op.is_read)
+        trace[ADDR_CONTEXT, r] = op.context
+        trace[ADDR_SEGMENT, r] = op.segment
+        trace[ADDR_VIRTUAL, r] = op.virt
+        for j in range(VALUE_LIMBS):
+            trace[VALUE_COLS[j], r] = (op.value >> (32 * j)) & 0xFFFFFFFF
+
+    # first-change flags + range check (cyclic next row)
+    for r in range(n):
+        nr = (r + 1) % n
+        cfc = trace[ADDR_CONTEXT, r] != trace[ADDR_CONTEXT, nr]
+        sfc = (not cfc) and trace[ADDR_SEGMENT, r] != trace[ADDR_SEGMENT, nr]
+        vfc = (not cfc and not sfc) and \
+            trace[ADDR_VIRTUAL, r] != trace[ADDR_VIRTUAL, nr]
+        trace[CONTEXT_FIRST_CHANGE, r] = cfc
+        trace[SEGMENT_FIRST_CHANGE, r] = sfc
+        trace[VIRTUAL_FIRST_CHANGE, r] = vfc
+        if r == n - 1:
+            rc = 0
+        elif cfc:
+            rc = int(trace[ADDR_CONTEXT, nr]) - int(trace[ADDR_CONTEXT, r]) - 1
+        elif sfc:
+            rc = int(trace[ADDR_SEGMENT, nr]) - int(trace[ADDR_SEGMENT, r]) - 1
+        elif vfc:
+            rc = int(trace[ADDR_VIRTUAL, nr]) - int(trace[ADDR_VIRTUAL, r]) - 1
+        else:
+            rc = int(trace[TIMESTAMP, nr]) - int(trace[TIMESTAMP, r])
+        assert 0 <= rc < n, f"range check {rc} out of bounds; fill_gaps bug"
+        trace[RANGE_CHECK, r] = rc
+        # aux columns for zero-initialization constraints
+        next_seg = int(trace[ADDR_SEGMENT, nr])
+        aux2 = ((next_seg - Segment.AccountsLinkedList)
+                * (next_seg - Segment.StorageLinkedList))
+        pre = ((next_seg - Segment.Code) * (next_seg - Segment.TrieData)
+               * aux2)
+        from ..field import host
+        trace[PREINITIALIZED_SEGMENTS_AUX, r] = aux2 % host.P
+        trace[PREINITIALIZED_SEGMENTS_COL, r] = pre % host.P
+        addr_changed = cfc or sfc or vfc
+        trace[INITIALIZE_AUX, r] = (pre * int(addr_changed)
+                                    * int(trace[IS_READ, nr])) % host.P
+
+    # stale contexts (context pruning)
+    for ctx in stale_contexts:
+        trace[STALE_CONTEXTS, ctx] = ctx + 1
+        trace[IS_PRUNED, ctx] = 1
+
+    # counter / frequencies / stale marking / mem_after
+    trace[COUNTER] = np.arange(n, dtype=np.uint64)
+    freq = np.zeros(n, dtype=np.uint64)
+    mem_after = []
+    for r in range(n):
+        freq[int(trace[RANGE_CHECK, r])] += 1
+        if trace[CONTEXT_FIRST_CHANGE, r] or trace[SEGMENT_FIRST_CHANGE, r]:
+            nr = (r + 1) % n
+            v = int(trace[ADDR_VIRTUAL, nr]) if r < n - 1 else 0
+            freq[v] += 1
+        ctx = int(trace[ADDR_CONTEXT, r])
+        if ctx + 1 == int(trace[STALE_CONTEXTS, ctx]):
+            trace[IS_STALE, r] = 1
+            trace[STALE_CONTEXT_FREQUENCIES, ctx] += 1
+        elif trace[FILTER, r] and (trace[CONTEXT_FIRST_CHANGE, r]
+                                   or trace[SEGMENT_FIRST_CHANGE, r]
+                                   or trace[VIRTUAL_FIRST_CHANGE, r]):
+            trace[MAYBE_IN_MEM_AFTER, r] = 1
+            seg = int(trace[ADDR_SEGMENT, r])
+            nonzero = any(trace[VALUE_COLS[j], r] for j in range(VALUE_LIMBS))
+            if nonzero or seg in PREINITIALIZED_SEGMENTS:
+                trace[MEM_AFTER_FILTER, r] = 1
+                addr = (ctx, seg, int(trace[ADDR_VIRTUAL, r]))
+                val = sum(int(trace[VALUE_COLS[j], r]) << (32 * j)
+                          for j in range(VALUE_LIMBS))
+                mem_after.append((addr, val))
+    trace[FREQUENCIES] = freq
+    return trace, mem_after
+
+
+class MemoryStark(Stark):
+    name = "memory"
+    num_columns = NUM_COLUMNS
+
+    def eval(self, frame, cc):
+        lv = frame.local
+        nv = frame.next
+
+        filt = lv[FILTER]
+        cc.constraint(filt * (filt - 1))
+        # dummy rows must be reads
+        cc.constraint((1 - filt) * (1 - lv[IS_READ]))
+
+        cfc = lv[CONTEXT_FIRST_CHANGE]
+        sfc = lv[SEGMENT_FIRST_CHANGE]
+        vfc = lv[VIRTUAL_FIRST_CHANGE]
+        unchanged = 1 - cfc - sfc - vfc
+        for flag in (cfc, sfc, vfc, unchanged):
+            cc.constraint(flag * (1 - flag))
+
+        dc = nv[ADDR_CONTEXT] - lv[ADDR_CONTEXT]
+        ds = nv[ADDR_SEGMENT] - lv[ADDR_SEGMENT]
+        dv = nv[ADDR_VIRTUAL] - lv[ADDR_VIRTUAL]
+        dt = nv[TIMESTAMP] - lv[TIMESTAMP]
+        cc.constraint_transition(sfc * dc)
+        cc.constraint_transition(vfc * dc)
+        cc.constraint_transition(vfc * ds)
+        cc.constraint_transition(unchanged * dc)
+        cc.constraint_transition(unchanged * ds)
+        cc.constraint_transition(unchanged * dv)
+
+        computed_rc = cfc * (dc - 1) + sfc * (ds - 1) + vfc * (dv - 1) \
+            + unchanged * dt
+        cc.constraint_transition(lv[RANGE_CHECK] - computed_rc)
+
+        # preinitialized-segment helper columns
+        aux2 = lv[PREINITIALIZED_SEGMENTS_AUX]
+        cc.constraint_transition(
+            aux2 - (nv[ADDR_SEGMENT] - Segment.AccountsLinkedList)
+            * (nv[ADDR_SEGMENT] - Segment.StorageLinkedList))
+        pre = lv[PREINITIALIZED_SEGMENTS_COL]
+        cc.constraint_transition(
+            pre - (nv[ADDR_SEGMENT] - Segment.Code)
+            * (nv[ADDR_SEGMENT] - Segment.TrieData) * aux2)
+        init_aux = lv[INITIALIZE_AUX]
+        cc.constraint_transition(
+            init_aux - pre * (1 - unchanged) * nv[IS_READ])
+
+        for j in range(VALUE_LIMBS):
+            cc.constraint_transition(
+                nv[IS_READ] * unchanged
+                * (nv[VALUE_COLS[j]] - lv[VALUE_COLS[j]]))
+            cc.constraint_transition(init_aux * nv[VALUE_COLS[j]])
+
+        # mem_after plumbing
+        cc.constraint_transition(
+            lv[MAYBE_IN_MEM_AFTER]
+            + filt * (1 - unchanged) * (lv[IS_STALE] - 1))
+        maf = lv[MEM_AFTER_FILTER]
+        cc.constraint(maf * (maf - 1))
+        for j in range(VALUE_LIMBS):
+            cc.constraint((maf - lv[MAYBE_IN_MEM_AFTER]) * pre
+                          * lv[VALUE_COLS[j]])
+
+        # timestamp inverse (CTL filter soundness)
+        ts = lv[TIMESTAMP]
+        cc.constraint(ts * (ts * lv[TIMESTAMP_INV] - 1))
+
+        # counter: 0, +1 each row
+        cc.constraint_first_row(lv[COUNTER])
+        cc.constraint_transition(nv[COUNTER] - lv[COUNTER] - 1)
+
+    def lookups(self):
+        return [
+            Lookup(
+                looking_columns=(col(RANGE_CHECK), col_next(ADDR_VIRTUAL)),
+                table_column=COUNTER,
+                frequencies_column=FREQUENCIES,
+                filters=(None, Filter(sum_cols=(CONTEXT_FIRST_CHANGE,
+                                                SEGMENT_FIRST_CHANGE)))),
+            Lookup(
+                looking_columns=(ColExpr(terms=((ADDR_CONTEXT, 1),),
+                                         const=1),),
+                table_column=STALE_CONTEXTS,
+                frequencies_column=STALE_CONTEXT_FREQUENCIES,
+                filters=(Filter(column=IS_STALE),)),
+        ]
+
+    def requires_ctls(self):
+        return True

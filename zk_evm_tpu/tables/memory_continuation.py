@@ -1,0 +1,51 @@
+"""MemBefore / MemAfter tables (zk-continuations).
+
+Functional twin of the reference's MemoryContinuationStark (one type, two
+instances; /root/reference/evm_arithmetization/src/memory_continuation/
+{memory_continuation_stark.rs,columns.rs}, spec book/src/tables/
+mem_continuations.md). Rows are (filter, context, segment, virtual,
+8 value limbs) dictionaries of live memory at segment boundaries; the only
+in-table constraint is a boolean filter — the content is bound by CTLs
+(copied into Memory as timestamp-0 writes / final-value reads) and by the
+Merkle caps exported into public values and chained across segments.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..stark import Stark
+
+FILTER = 0
+ADDR_CONTEXT = 1
+ADDR_SEGMENT = 2
+ADDR_VIRTUAL = 3
+VALUE_COLS = list(range(4, 12))
+NUM_COLUMNS = 12
+
+
+def generate_trace(propagated_values) -> np.ndarray:
+    """propagated_values: list of ((context, segment, virt), value)."""
+    rows = len(propagated_values)
+    n = max(128, 1 << max(rows - 1, 0).bit_length() if rows else 1)
+    trace = np.zeros((NUM_COLUMNS, n), dtype=np.uint64)
+    for r, ((ctx, seg, virt), val) in enumerate(propagated_values):
+        trace[FILTER, r] = 1
+        trace[ADDR_CONTEXT, r] = ctx
+        trace[ADDR_SEGMENT, r] = seg
+        trace[ADDR_VIRTUAL, r] = virt
+        for j, c in enumerate(VALUE_COLS):
+            trace[c, r] = (val >> (32 * j)) & 0xFFFFFFFF
+    return trace
+
+
+class MemoryContinuationStark(Stark):
+    name = "mem_continuation"
+    num_columns = NUM_COLUMNS
+
+    def eval(self, frame, cc):
+        f = frame.local[FILTER]
+        cc.constraint(f * (f - 1))
+
+    def requires_ctls(self):
+        return True
