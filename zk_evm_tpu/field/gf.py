@@ -70,6 +70,12 @@ class GF:
     def __len__(self):
         return self.lo.shape[0]
 
+    def __iter__(self):
+        # explicit iterator: without it, unpacking falls into the sequence
+        # protocol and jnp's clamping indexing never raises IndexError
+        for i in range(self.lo.shape[0]):
+            yield self[i]
+
     def reshape(self, *shape) -> "GF":
         return GF(self.lo.reshape(*shape), self.hi.reshape(*shape))
 

@@ -42,14 +42,14 @@ def _quotient_chunks(stark: Stark, trace_batch: PolynomialBatch,
 
     aux_local, aux_next = [], []
     if aux_batch is not None:
-        aux_lde = aux_batch.lde
-        aux_next_lde = aux_lde.take(perm, axis=-1)
-        aux_local = [aux_lde[i] for i in range(aux_batch.num_polys)]
-        aux_next = [aux_next_lde[i] for i in range(aux_batch.num_polys)]
+        aux_local = aux_batch.lde
+        aux_next = aux_local.take(perm, axis=-1)
 
+    # local/next are whole GF matrices: lv[i] yields a column row-vector
+    # and lv[a:b] a (K, m) block (tables with uniform wide constraint
+    # families slice blocks and use cc.constraint_block).
     frame = StarkFrame(
-        local=[lde[i] for i in range(stark.num_columns)],
-        next_=[next_lde[i] for i in range(stark.num_columns)],
+        local=lde, next_=next_lde,
         aux_local=aux_local, aux_next=aux_next,
         public_inputs=public_inputs)
     cc = ConstraintConsumer(

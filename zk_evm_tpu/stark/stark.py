@@ -54,6 +54,38 @@ class ConstraintConsumer:
     def constraint_last_row(self, c) -> None:
         self.constraint(c * self.lagrange_last)
 
+    # -- block forms ---------------------------------------------------------
+    # A block of K constraints folds exactly like K sequential constraint()
+    # calls (acc*a^K + sum_k a^{K-1-k} c_k) but in O(log K) vectorized ops
+    # when the constraints are a GF array of shape (K, m). Wide bitwise
+    # tables (Keccak: tens of thousands of uniform bit constraints) are
+    # infeasible as per-constraint dispatches. The verifier-side algebra
+    # (list of HExt) takes the sequential path — the transcripts agree
+    # because the fold math is identical.
+
+    def constraint_block(self, cs) -> None:
+        if isinstance(cs, (list, tuple)):
+            for c in cs:
+                self.constraint(c)
+            return
+        from ..field import GF, np_field
+        import numpy as np
+        k = cs.shape[0]
+        new_accs = []
+        for acc, alpha in zip(self.accs, self.alphas):
+            w = np_field.powers(alpha, k)[::-1].copy()
+            contrib = (cs * GF.from_u64(w.reshape(k, 1))).sum(axis=0)
+            ak = int(np_field.powers(alpha, k + 1)[k])
+            new_accs.append(acc * ak + contrib)
+        self.accs = new_accs
+
+    def constraint_block_transition(self, cs) -> None:
+        if isinstance(cs, (list, tuple)):
+            for c in cs:
+                self.constraint_transition(c)
+            return
+        self.constraint_block(cs * self.z_last)
+
 
 class Stark:
     """Base class for one STARK table."""
