@@ -1,0 +1,122 @@
+"""Multi-table integration: a keccak-sponge hashing scenario wired through
+the full AllStark CTL graph (KeccakSponge <-> Keccak, -> Logic, -> Memory,
+MemBefore/MemAfter chaining), with the CPU-side dispatch covered by the
+verifier's extra-looking-sums mechanism."""
+
+import numpy as np
+import pytest
+
+from zk_evm_tpu.field import host
+from zk_evm_tpu.stark import StarkConfig, FriConfig, prove_all, verify_all
+from zk_evm_tpu.stark import lookup as lk
+from zk_evm_tpu.stark.multi import observe_global, _zero_cap
+from zk_evm_tpu.challenger import Challenger
+from zk_evm_tpu.tables import all_stark as ast
+from zk_evm_tpu.tables import (keccak, keccak_sponge as ks, logic,
+                               memory as mem, memory_continuation as mc)
+from zk_evm_tpu.tables.segments import Segment
+
+INPUT = b"hello"
+TS = 2
+CTX, SEG, VIRT = 0, Segment.MainMemory, 64
+
+
+def build_scenario():
+    """Construct consistent traces for one sponge op over INPUT."""
+    # sponge
+    sponge_op = ks.KeccakSpongeOp(CTX, SEG, VIRT, TS, INPUT)
+    sponge_trace = ks.generate_trace([sponge_op])
+
+    # padded block + xored state feed Keccak and Logic
+    block = bytearray(INPUT)
+    block.append(0x01)
+    block.extend(b"\x00" * (ks.RATE_BYTES - len(block)))
+    block[-1] |= 0x80
+    xored_u32s = [int.from_bytes(block[4 * i:4 * i + 4], "little")
+                  for i in range(ks.RATE_U32S)] + [0] * ks.CAPACITY_U32S
+    lanes = [xored_u32s[2 * i] | (xored_u32s[2 * i + 1] << 32)
+             for i in range(25)]
+    keccak_trace = keccak.generate_trace([(lanes, TS)])
+
+    # logic: 5 XOR ops (original rate = 0 for the single block)
+    logic_ops = []
+    for i in range(ks.NUM_LOGIC_CTLS):
+        chunk = block[32 * i:32 * i + 32]
+        y = int.from_bytes(bytes(chunk), "little")
+        logic_ops.append(("xor", 0, y))
+    logic_trace = logic.generate_trace(logic_ops)
+
+    # memory: one read per input byte at the sponge timestamp; initial
+    # values arrive as timestamp-0 writes from MemBefore
+    mem_before_values = [((CTX, SEG, VIRT + i), INPUT[i])
+                         for i in range(len(INPUT))]
+    mem_ops = [mem.MemoryOp(True, TS, CTX, SEG, VIRT + i, True, INPUT[i])
+               for i in range(len(INPUT))]
+    mem_trace, mem_after_values = mem.generate_trace(
+        mem_ops, mem_before_values=mem_before_values)
+
+    mem_before_trace = mc.generate_trace(mem_before_values)
+    mem_after_trace = mc.generate_trace(mem_after_values)
+
+    traces = [None] * ast.NUM_TABLES
+    traces[ast.Table.Keccak] = keccak_trace
+    traces[ast.Table.KeccakSponge] = sponge_trace
+    traces[ast.Table.Logic] = logic_trace
+    traces[ast.Table.Memory] = mem_trace
+    traces[ast.Table.MemBefore] = mem_before_trace
+    traces[ast.Table.MemAfter] = mem_after_trace
+    return traces, sponge_trace
+
+
+def _cfg():
+    return StarkConfig(
+        security_bits=1,
+        fri_config=FriConfig(rate_bits=1, cap_height=2,
+                             proof_of_work_bits=0, num_query_rounds=1,
+                             arity_bits=2, final_poly_bits=2))
+
+
+def _extra_sums(proof, ctls, cfg, sponge_trace):
+    """CPU-side contribution to ctl_keccak_sponge, recomputed by the
+    verifier from the claimed digest (stand-in for the CPU table)."""
+    challenger = Challenger()
+    caps = [p.trace_cap if p is not None else _zero_cap(cfg)
+            for p in proof.proofs]
+    observe_global(challenger, caps, proof.public_inputs)
+    chs = lk.get_challenge_set(challenger, cfg.num_challenges)
+    sponge_idx = [i for i, c in enumerate(ctls)
+                  if c.name == "keccak_sponge"][0]
+    extra = []
+    for beta, gamma in chs.pairs:
+        extra.append(lk.ctl_view_sum_np(sponge_trace,
+                                        ctls[sponge_idx].looked,
+                                        beta, gamma))
+    return {sponge_idx: extra}
+
+
+def test_all_stark_sponge_scenario():
+    traces, sponge_trace = build_scenario()
+    starks = ast.all_starks()
+    ctls = ast.all_cross_table_lookups()
+    cfg = _cfg()
+    proof = prove_all(starks, traces, ctls, cfg)
+    extra = _extra_sums(proof, ctls, cfg, sponge_trace)
+    verify_all(starks, proof, ctls, cfg, extra_looking_sums=extra)
+
+
+@pytest.mark.skipif("ZK_SLOW" not in __import__("os").environ,
+                    reason="second full multi-table prove; set ZK_SLOW=1")
+def test_all_stark_rejects_wrong_memory_value():
+    traces, sponge_trace = build_scenario()
+    # corrupt one memory value: the sponge's byte reads no longer match
+    mtrace = traces[ast.Table.Memory]
+    rows = np.nonzero(mtrace[mem.TIMESTAMP] == TS)[0]
+    r = int(rows[0])
+    mtrace[mem.VALUE_COLS[0], r] ^= 1
+    starks = ast.all_starks()
+    ctls = ast.all_cross_table_lookups()
+    cfg = _cfg()
+    proof = prove_all(starks, traces, ctls, cfg)
+    extra = _extra_sums(proof, ctls, cfg, sponge_trace)
+    with pytest.raises(AssertionError):
+        verify_all(starks, proof, ctls, cfg, extra_looking_sums=extra)

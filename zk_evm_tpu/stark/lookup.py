@@ -107,14 +107,27 @@ class Lookup:
 
 @dataclass(frozen=True)
 class Filter:
-    """Row filter: a column, a product of two columns, a sum of columns,
-    or constant-1 (all fields None)."""
+    """Row filter. General form (starky's Filter): value =
+    sum of ColExpr-pair products + sum of ColExpr constants.
+    Convenience fields cover the common cases: a single column, a product
+    of two columns, a sum of columns, or constant-1 (all fields empty)."""
     column: int | None = None
     product: tuple[int, int] | None = None
     sum_cols: tuple[int, ...] | None = None
+    products: tuple = ()        # ((ColExpr, ColExpr), ...)
+    constants: tuple = ()       # (ColExpr, ...)
 
     def eval(self, local):
         """In either algebra, from local column values."""
+        if self.products or self.constants:
+            acc = None
+            for a, b in self.products:
+                t = _coerce_expr(a).eval(local) * _coerce_expr(b).eval(local)
+                acc = t if acc is None else acc + t
+            for c in self.constants:
+                t = _coerce_expr(c).eval(local)
+                acc = t if acc is None else acc + t
+            return acc
         if self.product is not None:
             a, b = self.product
             return local[a] * local[b]
@@ -129,6 +142,15 @@ class Filter:
 
     def eval_np(self, trace: np.ndarray) -> np.ndarray:
         from ..field import np_field
+        if self.products or self.constants:
+            acc = np.zeros(trace.shape[1], dtype=np.uint64)
+            for a, b in self.products:
+                acc = np_field.add(acc, np_field.mul(
+                    _coerce_expr(a).eval_np(trace),
+                    _coerce_expr(b).eval_np(trace)))
+            for c in self.constants:
+                acc = np_field.add(acc, _coerce_expr(c).eval_np(trace))
+            return acc
         if self.product is not None:
             a, b = self.product
             return np_field.mul(trace[a], trace[b])
@@ -172,23 +194,26 @@ def get_challenge_set(challenger, num_challenges: int) -> ChallengeSet:
         for _ in range(num_challenges)))
 
 
-def views_for_table(ctls: list[CrossTableLookup],
-                    table: int) -> list[CtlView]:
-    """All CTL views living in `table`, in canonical aux order: per CTL,
-    looking views first (listed order), then the looked view."""
-    out = []
-    for ctl in ctls:
-        for v in ctl.looking:
-            if v.table == table:
-                out.append(v)
+def ctl_groups_for_table(ctls: list[CrossTableLookup], table: int):
+    """CTL views living in `table`, grouped per (ctl, side) in canonical
+    aux order. Each group shares paired helper columns and ONE running-sum
+    Z column (starky's layout — one Z per CTL per table per side), whose
+    Z(first) total is exported via ctl_zs_first."""
+    groups = []
+    for ci, ctl in enumerate(ctls):
+        looking_here = [v for v in ctl.looking if v.table == table]
+        if looking_here:
+            groups.append((ci, "looking", looking_here))
         if ctl.looked.table == table:
-            out.append(ctl.looked)
-    return out
+            groups.append((ci, "looked", [ctl.looked]))
+    return groups
 
 
-def num_aux_columns(lookups: list[Lookup], views: list[CtlView],
+def num_aux_columns(lookups: list[Lookup], groups,
                     num_challenges: int) -> int:
-    per = sum(lk.num_helpers() + 1 for lk in lookups) + 2 * len(views)
+    per = sum(lk.num_helpers() + 1 for lk in lookups)
+    for _ci, _side, views in groups:
+        per += (len(views) + 1) // 2 + 1
     return per * num_challenges
 
 
@@ -221,52 +246,139 @@ def _combine(local, nxt, columns, gamma: int):
     return acc
 
 
+def _flatten_combo(columns, gamma: int):
+    """Flatten a view's gamma-weighted column expressions into
+    (cur_terms, nxt_terms, const): lists of (col, coeff) with the gamma
+    position weights folded in (host-exact)."""
+    cur, nxt, const = [], [], 0
+    gp = 1
+    for c in columns:
+        e = _coerce_expr(c)
+        for col_i, k in e.terms:
+            cur.append((col_i, host.fmul(gp, k % host.P)))
+        for col_i, k in e.next_terms:
+            nxt.append((col_i, host.fmul(gp, k % host.P)))
+        if e.const:
+            const = host.fadd(const, host.fmul(gp, e.const % host.P))
+        gp = host.fmul(gp, gamma)
+    return cur, nxt, const
+
+
+def _batch_combined(trace_gf: GF, nxt_gf: GF, combos, beta: int) -> GF:
+    """Evaluate many flattened combinations at once over GF matrices.
+
+    combos: list of (cur_terms, nxt_terms, const). Returns (V, m) GF of
+    beta + combined_v. The per-view term lists are padded to the max term
+    count; each padding step is one gather + one multiply-accumulate over
+    all views — this replaces thousands of per-view column ops (the CTL
+    memory wiring alone has 136 views x 13 columns)."""
+    import jax.numpy as jnp
+    v = len(combos)
+    m = trace_gf.shape[-1]
+    k_cur = max((len(c[0]) for c in combos), default=0)
+    k_nxt = max((len(c[1]) for c in combos), default=0)
+    idx_c = np.zeros((v, k_cur), dtype=np.int64)
+    cf_c = np.zeros((v, k_cur), dtype=np.uint64)
+    idx_n = np.zeros((v, k_nxt), dtype=np.int64)
+    cf_n = np.zeros((v, k_nxt), dtype=np.uint64)
+    consts = np.zeros(v, dtype=np.uint64)
+    for i, (cur, nxt_t, const) in enumerate(combos):
+        for j, (col_i, k) in enumerate(cur):
+            idx_c[i, j] = col_i
+            cf_c[i, j] = k
+        for j, (col_i, k) in enumerate(nxt_t):
+            idx_n[i, j] = col_i
+            cf_n[i, j] = k
+        consts[i] = host.fadd(const, beta)
+    acc = GF.from_u64(consts).reshape(v, 1).broadcast_to((v, m))
+    for k in range(k_cur):
+        rows = trace_gf.take(jnp.asarray(idx_c[:, k]), axis=0)
+        acc = acc + rows * GF.from_u64(cf_c[:, k].reshape(v, 1))
+    for k in range(k_nxt):
+        rows = nxt_gf.take(jnp.asarray(idx_n[:, k]), axis=0)
+        acc = acc + rows * GF.from_u64(cf_n[:, k].reshape(v, 1))
+    return acc
+
+
 def generate_aux_trace(trace_gf: GF, lookups: list[Lookup],
-                       views: list[CtlView],
-                       challenges: ChallengeSet) -> GF | None:
-    """Build all aux columns for one table. trace_gf: (cols, n).
-    Returns (num_aux, n) GF or None if no aux needed."""
-    cols = [trace_gf[i] for i in range(trace_gf.shape[0])]
-    nxt = [c.roll(-1, axis=-1) for c in cols] if any(
+                       groups, challenges: ChallengeSet) -> GF | None:
+    """Build all aux columns for one table. trace_gf: (cols, n); `groups`
+    from ctl_groups_for_table. Returns (num_aux, n) GF or None.
+
+    All denominators of one challenge invert in a single batched device
+    call, and all running sums share one associative scan."""
+    cols = trace_gf
+    uses_next = any(
         _coerce_expr(e).uses_next()
         for lk in lookups for e in list(lk.looking_columns)
         + [lk.table_column]) or any(
-        _coerce_expr(c).uses_next() for v in views for c in v.columns) \
-        else cols
+        _coerce_expr(c).uses_next()
+        for _ci, _s, views in groups for v in views for c in v.columns)
+    nxt_gf = trace_gf.roll(-1, axis=-1) if uses_next else trace_gf
     out: list[GF] = []
     for beta, gamma in challenges.pairs:
-        b = GF.const(beta)
+        combos = []
+        lk_plan = []
+        for lk in lookups:
+            ids = []
+            for e in lk.looking_columns:
+                ids.append(len(combos))
+                combos.append(_flatten_combo((e,), 0))
+            tid = len(combos)
+            combos.append(_flatten_combo((lk.table_column,), 0))
+            lk_plan.append((lk, ids, tid))
+        grp_plan = []
+        for _ci, _side, views in groups:
+            vids = []
+            for v in views:
+                vids.append(len(combos))
+                combos.append(_flatten_combo(v.columns, gamma))
+            grp_plan.append((views, vids))
 
-        def term(expr, filt):
-            h = (b + _coerce_expr(expr).eval(cols, nxt)).inv()
+        inv_rows = _batch_combined(trace_gf, nxt_gf, combos, beta).inv()
+
+        def term(idx, filt):
+            h = inv_rows[idx]
             f = filt.eval(cols) if filt is not None else None
             return h if f is None else h * f
 
-        for lk in lookups:
+        entries = []   # (columns_for_this_item, delta, is_lookup)
+        for lk, ids, tid in lk_plan:
+            filts = list(lk.filters) if lk.filters \
+                else [None] * len(ids)
+            helpers = []
             delta = None
-            lc = list(lk.looking_columns)
-            filts = list(lk.filters) if lk.filters else [None] * len(lc)
-            for i in range(0, len(lc) - 1, 2):
-                h = term(lc[i], filts[i]) + term(lc[i + 1], filts[i + 1])
-                out.append(h)
+            for i in range(0, len(ids) - 1, 2):
+                h = term(ids[i], filts[i]) + term(ids[i + 1], filts[i + 1])
+                helpers.append(h)
                 delta = h if delta is None else delta + h
-            if len(lc) % 2 == 1:
-                h = term(lc[-1], filts[-1])
-                out.append(h)
+            if len(ids) % 2 == 1:
+                h = term(ids[-1], filts[-1])
+                helpers.append(h)
                 delta = h if delta is None else delta + h
-            ht = cols[lk.frequencies_column] * \
-                (b + _coerce_expr(lk.table_column).eval(cols, nxt)).inv()
-            out.append(ht)
+            ht = cols[lk.frequencies_column] * inv_rows[tid]
+            helpers.append(ht)
             delta = delta - ht
-            out.append(_gf_suffix_sum(delta))
-        for v in views:
-            combined = _combine(cols, nxt, v.columns, gamma)
-            f = v.filter.eval(cols)
-            h = (b + combined).inv()
-            if f is not None:
-                h = h * f
-            out.append(h)
-            out.append(_gf_suffix_sum(h))
+            entries.append((helpers, delta))
+        for views, vids in grp_plan:
+            terms = [term(vid, v.filter) for v, vid in zip(views, vids)]
+            helpers = []
+            delta = None
+            for i in range(0, len(terms) - 1, 2):
+                h = terms[i] + terms[i + 1]
+                helpers.append(h)
+                delta = h if delta is None else delta + h
+            if len(terms) % 2 == 1:
+                h = terms[-1]
+                helpers.append(h)
+                delta = h if delta is None else delta + h
+            entries.append((helpers, delta))
+
+        if entries:
+            zs = _gf_suffix_sum(GF.stack([d for _h, d in entries], axis=0))
+            for i, (helpers, _d) in enumerate(entries):
+                out.extend(helpers)
+                out.append(zs[i])
     if not out:
         return None
     return GF.stack(out, axis=0)
@@ -276,7 +388,7 @@ def generate_aux_trace(trace_gf: GF, lookups: list[Lookup],
 # Generic constraint evaluation (runs in both algebras)
 # ---------------------------------------------------------------------------
 
-def eval_aux_constraints(lookups: list[Lookup], views: list[CtlView],
+def eval_aux_constraints(lookups: list[Lookup], groups,
                          challenges: ChallengeSet, frame, cc) -> None:
     """Append all lookup/CTL constraints to the consumer. `frame` must
     carry aux_local / aux_next aligned with generate_aux_trace's layout."""
@@ -284,15 +396,39 @@ def eval_aux_constraints(lookups: list[Lookup], views: list[CtlView],
     nxt = frame.next
     aux = frame.aux_local
     aux_next = frame.aux_next
+    is_vec = isinstance(local, GF)
     k = 0
     for beta, gamma in challenges.pairs:
+        # Vector path: all beta+combined denominators of this challenge in
+        # one batched evaluation (mirrors generate_aux_trace's order).
+        drows = None
+        dpos = [0]
+        if is_vec:
+            combos = []
+            for lk in lookups:
+                for e in lk.looking_columns:
+                    combos.append(_flatten_combo((e,), 0))
+                combos.append(_flatten_combo((lk.table_column,), 0))
+            for _ci, _side, views in groups:
+                for v in views:
+                    combos.append(_flatten_combo(v.columns, gamma))
+            drows = _batch_combined(local, nxt, combos, beta)
+
+        def next_denom(scalar_fn):
+            if drows is not None:
+                row = drows[dpos[0]]
+                dpos[0] += 1
+                return row
+            return scalar_fn() + beta
+
         for lk in lookups:
             delta = None
             lc = list(lk.looking_columns)
             filts = list(lk.filters) if lk.filters else [None] * len(lc)
 
             def cf(i):
-                c = _coerce_expr(lc[i]).eval(local, nxt) + beta
+                c = next_denom(
+                    lambda: _coerce_expr(lc[i]).eval(local, nxt))
                 f = filts[i].eval(local) if filts[i] is not None else 1
                 return c, f
 
@@ -310,9 +446,9 @@ def eval_aux_constraints(lookups: list[Lookup], views: list[CtlView],
                 delta = h if delta is None else delta + h
                 k += 1
             ht = aux[k]
-            tcol = _coerce_expr(lk.table_column).eval(local, nxt)
-            cc.constraint(ht * (tcol + beta)
-                          - local[lk.frequencies_column])
+            tdenom = next_denom(
+                lambda: _coerce_expr(lk.table_column).eval(local, nxt))
+            cc.constraint(ht * tdenom - local[lk.frequencies_column])
             delta = delta - ht
             k += 1
             z = aux[k]
@@ -321,32 +457,70 @@ def eval_aux_constraints(lookups: list[Lookup], views: list[CtlView],
             cc.constraint_last_row(z - delta)
             cc.constraint_first_row(z)      # in-table lookups balance to 0
             k += 1
-        for v in views:
-            h = aux[k]
-            combined = _combine(local, nxt, v.columns, gamma) + beta
-            f = v.filter.eval(local)
-            rhs = 1 if f is None else f
-            cc.constraint(h * combined - rhs)
-            k += 1
+        for _ci, _side, views in groups:
+
+            def vf(v):
+                c = next_denom(
+                    lambda: _combine(local, nxt, v.columns, gamma))
+                f = v.filter.eval(local)
+                return c, (1 if f is None else f)
+
+            delta = None
+            for i in range(0, len(views) - 1, 2):
+                h = aux[k]
+                c1, f1 = vf(views[i])
+                c2, f2 = vf(views[i + 1])
+                cc.constraint(h * c1 * c2 - (f1 * c2 + f2 * c1))
+                delta = h if delta is None else delta + h
+                k += 1
+            if len(views) % 2 == 1:
+                h = aux[k]
+                c1, f1 = vf(views[-1])
+                cc.constraint(h * c1 - f1)
+                delta = h if delta is None else delta + h
+                k += 1
             z = aux[k]
             z_next = aux_next[k]
-            cc.constraint_transition(z - h - z_next)
-            cc.constraint_last_row(z - h)
+            cc.constraint_transition(z - delta - z_next)
+            cc.constraint_last_row(z - delta)
             # Z(first) is exported (ctl_zs_first), not constrained to 0
             k += 1
 
 
-def ctl_z_first_indices(lookups: list[Lookup], views: list[CtlView],
+def ctl_view_sum_np(trace: np.ndarray, view: CtlView, beta: int,
+                    gamma: int) -> int:
+    """Host-exact logUp sum of one CTL view over a raw trace:
+    sum_rows filter / (beta + gamma-combine(columns)). Used for the
+    verifier's extra looking sums (the reference's
+    get_memory_extra_looking_sum mechanism, verifier.rs:319)."""
+    from ..field import np_field
+    exprs = [_coerce_expr(c) for c in view.columns]
+    combined = exprs[0].eval_np(trace)
+    gp = gamma
+    for e in exprs[1:]:
+        combined = np_field.add(combined,
+                                np_field.mul(e.eval_np(trace),
+                                             np.uint64(gp)))
+        gp = host.fmul(gp, gamma)
+    f = view.filter.eval_np(trace)
+    inv = np_field.inv(np_field.add(combined, np.uint64(beta)))
+    total = 0
+    for v in np_field.mul(f, inv):
+        total = host.fadd(total, int(v))
+    return total
+
+
+def ctl_z_first_indices(lookups: list[Lookup], groups,
                         challenges: ChallengeSet) -> list[int]:
     """Aux-column indices of the CTL Z columns (whose x=1 openings are the
-    exported totals), in (challenge, view) order."""
+    exported totals), in (challenge, group) order."""
     out = []
     k = 0
-    per_lookup = [lk.num_helpers() + 1 for lk in lookups]
+    per_lookup = sum(lk.num_helpers() + 1 for lk in lookups)
     for _ in challenges.pairs:
-        k += sum(per_lookup)
-        for _v in views:
-            k += 1          # helper
-            out.append(k)   # Z
+        k += per_lookup
+        for _ci, _side, views in groups:
+            k += (len(views) + 1) // 2     # helpers
+            out.append(k)                  # Z
             k += 1
     return out

@@ -77,10 +77,10 @@ def prove_all(starks: list[Stark], traces: list[np.ndarray | None],
         if trace is None:
             proofs.append(None)
             continue
-        views = lookup.views_for_table(ctls, t)
+        groups = lookup.ctl_groups_for_table(ctls, t)
         proofs.append(prove_stark(
             stark, trace, config, challenger,
-            challenges=challenges, ctl_views=views,
+            challenges=challenges, ctl_groups=groups,
             observe_trace_cap=False, trace_batch=batches[t]))
     return AllProof(proofs=proofs, table_in_use=table_in_use,
                     public_inputs=list(public_inputs))
@@ -104,51 +104,41 @@ def verify_all(starks: list[Stark], all_proof: AllProof,
         if proof is None:
             assert not all_proof.table_in_use[t]
             continue
-        views = lookup.views_for_table(ctls, t)
+        groups = lookup.ctl_groups_for_table(ctls, t)
         verify_stark(stark, proof, config, challenger,
-                     challenges=challenges, ctl_views=views,
+                     challenges=challenges, ctl_groups=groups,
                      observe_trace_cap=False)
 
     # ---- global CTL sum check ------------------------------------------
-    totals = _collect_ctl_totals(starks, all_proof, ctls, challenges)
+    totals = _collect_ctl_totals(all_proof, ctls, challenges)
     nc = len(challenges.pairs)
     for ci, ctl in enumerate(ctls):
         for c in range(nc):
-            looking = 0
-            for v in ctl.looking:
-                looking = host.fadd(looking, totals[(ci, id(v), c)])
+            looking = totals.get((ci, "looking", c), 0)
             extra = extra_looking_sums.get(ci)
             if extra is not None:
                 looking = host.fadd(looking, extra[c])
-            looked = totals[(ci, id(ctl.looked), c)]
+            looked = totals.get((ci, "looked", c), 0)
             assert looking == looked, \
                 f"CTL '{ctl.name}' unbalanced (challenge {c})"
 
 
-def _collect_ctl_totals(starks, all_proof: AllProof, ctls, challenges):
-    """Map (ctl_index, view_id, challenge) -> exported Z(first) total.
-    Unused tables contribute zero."""
-    totals = {}
+def _collect_ctl_totals(all_proof: AllProof, ctls, challenges):
+    """Sum exported Z(first) totals into (ctl_index, side, challenge)
+    buckets across tables. Unused tables contribute zero."""
+    totals: dict = {}
     nc = len(challenges.pairs)
     for t, proof in enumerate(all_proof.proofs):
-        table_views = []
-        for ci, ctl in enumerate(ctls):
-            for v in ctl.looking:
-                if v.table == t:
-                    table_views.append((ci, v))
-            if ctl.looked.table == t:
-                table_views.append((ci, ctl.looked))
+        groups = lookup.ctl_groups_for_table(ctls, t)
         if proof is None:
-            for ci, v in table_views:
-                for c in range(nc):
-                    totals[(ci, id(v), c)] = 0
             continue
         zs = proof.openings.ctl_zs_first
-        assert len(zs) == nc * len(table_views), \
+        assert len(zs) == nc * len(groups), \
             f"table {t}: ctl_zs_first count mismatch"
         k = 0
         for c in range(nc):
-            for ci, v in table_views:
-                totals[(ci, id(v), c)] = zs[k]
+            for ci, side, _views in groups:
+                key = (ci, side, c)
+                totals[key] = host.fadd(totals.get(key, 0), zs[k])
                 k += 1
     return totals

@@ -25,7 +25,7 @@ from . import domains, fri, lookup
 
 def _quotient_chunks(stark: Stark, trace_batch: PolynomialBatch,
                      aux_batch: PolynomialBatch | None,
-                     lookups, views, challenges,
+                     lookups, groups, challenges,
                      alphas: list[int], config: StarkConfig,
                      public_inputs: list[int]) -> GF:
     """Evaluate the constraint composition over the LDE coset and return
@@ -59,8 +59,8 @@ def _quotient_chunks(stark: Stark, trace_batch: PolynomialBatch,
         lagrange_first=GF.from_u64(sel["l_first"]),
         lagrange_last=GF.from_u64(sel["l_last"]))
     stark.eval(frame, cc)
-    if lookups or views:
-        lookup.eval_aux_constraints(lookups, views, challenges, frame, cc)
+    if lookups or groups:
+        lookup.eval_aux_constraints(lookups, groups, challenges, frame, cc)
 
     zh_inv = GF.from_u64(sel["zh_inv"])
     q_vals = GF.stack([acc * zh_inv for acc in cc.accs], axis=0)
@@ -73,14 +73,14 @@ def prove_stark(stark: Stark, trace: np.ndarray, config: StarkConfig,
                 challenger: Challenger,
                 public_inputs: list[int] | None = None,
                 challenges: lookup.ChallengeSet | None = None,
-                ctl_views: list[lookup.CtlView] | None = None,
+                ctl_groups=None,
                 observe_trace_cap: bool = True,
                 trace_batch: PolynomialBatch | None = None) -> StarkProof:
     """Prove one table. In multi-table mode (AllStark) the caller commits
     the trace, observes every cap globally, draws the shared CTL challenge
     set, and passes challenges/ctl_views/trace_batch in."""
     public_inputs = public_inputs or []
-    views = list(ctl_views or [])
+    groups = list(ctl_groups or [])
     lookups = stark.lookups()
     n = trace.shape[1]
     degree_bits = n.bit_length() - 1
@@ -102,11 +102,11 @@ def prove_stark(stark: Stark, trace: np.ndarray, config: StarkConfig,
     # 1. lookup/CTL challenges + aux commitment
     aux_batch = None
     aux_cap = None
-    if lookups or views:
+    if lookups or groups:
         if challenges is None:
             challenges = lookup.get_challenge_set(
                 challenger, config.num_challenges)
-        aux_gf = lookup.generate_aux_trace(trace_gf, lookups, views,
+        aux_gf = lookup.generate_aux_trace(trace_gf, lookups, groups,
                                            challenges)
         aux_batch = PolynomialBatch.from_values(
             aux_gf, rate_bits=config.rate_bits,
@@ -117,7 +117,7 @@ def prove_stark(stark: Stark, trace: np.ndarray, config: StarkConfig,
     # 2. constraint-folding challenges + quotient commitment
     alphas = challenger.get_n_challenges(config.num_challenges)
     chunks = _quotient_chunks(stark, trace_batch, aux_batch, lookups,
-                              views, challenges, alphas, config,
+                              groups, challenges, alphas, config,
                               public_inputs)
     quotient_batch = PolynomialBatch.from_coeffs(
         chunks, rate_bits=config.rate_bits, cap_height=config.cap_height)
@@ -136,7 +136,7 @@ def prove_stark(stark: Stark, trace: np.ndarray, config: StarkConfig,
         a_open = aux_batch.open_at([zeta, zeta_next, (1, 0)])
         aux_local_open = [tuple(map(int, v)) for v in a_open[0]]
         aux_next_open = [tuple(map(int, v)) for v in a_open[1]]
-        z_idxs = lookup.ctl_z_first_indices(lookups, views, challenges)
+        z_idxs = lookup.ctl_z_first_indices(lookups, groups, challenges)
         for i in z_idxs:
             a, b = int(a_open[2, i, 0]), int(a_open[2, i, 1])
             assert b == 0, "CTL Z opening at x=1 must be base-field"

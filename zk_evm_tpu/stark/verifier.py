@@ -17,7 +17,7 @@ from . import domains, fri, lookup
 def verify_stark(stark: Stark, proof: StarkProof, config: StarkConfig,
                  challenger: Challenger,
                  challenges: lookup.ChallengeSet | None = None,
-                 ctl_views: list[lookup.CtlView] | None = None,
+                 ctl_groups=None,
                  observe_trace_cap: bool = True) -> None:
     """Raises AssertionError on any failure. `challenger` must be at the
     same transcript position as the prover's on entry."""
@@ -25,9 +25,9 @@ def verify_stark(stark: Stark, proof: StarkProof, config: StarkConfig,
     degree_bits = proof.degree_bits
     n = 1 << degree_bits
     ops = proof.openings
-    views = list(ctl_views or [])
+    groups = list(ctl_groups or [])
     lookups = stark.lookups()
-    has_aux = bool(lookups or views)
+    has_aux = bool(lookups or groups)
 
     assert len(ops.trace_local) == stark.num_columns
     assert len(ops.trace_next) == stark.num_columns
@@ -40,13 +40,13 @@ def verify_stark(stark: Stark, proof: StarkProof, config: StarkConfig,
         if challenges is None:
             challenges = lookup.get_challenge_set(
                 challenger, config.num_challenges)
-        num_aux = lookup.num_aux_columns(lookups, views,
+        num_aux = lookup.num_aux_columns(lookups, groups,
                                          len(challenges.pairs))
         assert len(ops.aux_local) == num_aux
         assert len(ops.aux_next) == num_aux
         assert proof.aux_cap is not None
         challenger.observe_cap(proof.aux_cap)
-        z_idxs = lookup.ctl_z_first_indices(lookups, views, challenges)
+        z_idxs = lookup.ctl_z_first_indices(lookups, groups, challenges)
         assert len(ops.ctl_zs_first) == len(z_idxs)
     alphas = challenger.get_n_challenges(config.num_challenges)
     challenger.observe_cap(proof.quotient_cap)
@@ -68,7 +68,7 @@ def verify_stark(stark: Stark, proof: StarkProof, config: StarkConfig,
         lagrange_first=HExt(l_first), lagrange_last=HExt(l_last))
     stark.eval(frame, cc)
     if has_aux:
-        lookup.eval_aux_constraints(lookups, views, challenges, frame, cc)
+        lookup.eval_aux_constraints(lookups, groups, challenges, frame, cc)
 
     zeta_pow_n = HExt(host.eexp(zeta, n))
     chunks_per = 1 << config.rate_bits

@@ -16,7 +16,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..stark import Stark, Lookup
+from ..stark import Stark, Lookup, Filter, ColExpr, col
 
 NUM_BYTES = 32
 BYTE_RANGE_MAX = 1 << 8
@@ -72,6 +72,41 @@ def generate_trace(ops: list[BytePackingOp],
         freq[:len(counts)] += counts.astype(np.uint64)
     trace[RC_FREQUENCIES] = freq
     return trace
+
+
+# ---------------------------------------------------------------------------
+# CTL views (all_stark.rs ctl_byte_packing / ctl_memory)
+# ---------------------------------------------------------------------------
+
+def ctl_looked_data():
+    """(is_read, ctx, seg, virt, sequence_len, timestamp, 8 packed u32
+    limbs) — looked up by the CPU's (un)packing operations."""
+    limbs = []
+    for i in range(8):
+        limbs.append(ColExpr(terms=tuple(
+            (VALUE_BYTES[4 * i + j], 1 << (8 * j)) for j in range(4))))
+    seq_len = ColExpr(terms=tuple(
+        (INDEX_LEN[i], i + 1) for i in range(NUM_BYTES)))
+    return (col(IS_READ), col(ADDR_CONTEXT), col(ADDR_SEGMENT),
+            col(ADDR_VIRTUAL), seq_len, col(TIMESTAMP)) + tuple(limbs)
+
+
+def ctl_looked_filter() -> Filter:
+    return Filter(sum_cols=tuple(INDEX_LEN))
+
+
+def ctl_looking_memory(i: int):
+    """Memory op for byte i: address virt + sequence_len - 1 - i."""
+    addr = ColExpr(terms=((ADDR_VIRTUAL, 1),)
+                   + tuple((INDEX_LEN[j], j) for j in range(NUM_BYTES)),
+                   const=-i)
+    return (col(IS_READ), col(ADDR_CONTEXT), col(ADDR_SEGMENT), addr,
+            col(VALUE_BYTES[i])) \
+        + tuple(ColExpr() for _ in range(7)) + (col(TIMESTAMP),)
+
+
+def ctl_looking_memory_filter(i: int) -> Filter:
+    return Filter(sum_cols=tuple(INDEX_LEN[i:]))
 
 
 class BytePackingStark(Stark):

@@ -23,7 +23,7 @@ from functools import lru_cache
 import numpy as np
 
 from ..field import GF
-from ..stark import Stark
+from ..stark import Stark, Filter, col
 
 NUM_ROUNDS = 24
 NUM_INPUTS = 25
@@ -103,6 +103,40 @@ def reg_b(x, y, z):
     b = x
     rot = R[a][b]
     return reg_a_prime(a, b, (z + 64 - rot) % 64)
+
+
+# ---------------------------------------------------------------------------
+# CTL views (all_stark.rs ctl_keccak_inputs / ctl_keccak_outputs)
+# ---------------------------------------------------------------------------
+
+def ctl_data_inputs():
+    """50 input u32 limbs in y-major lane order + timestamp."""
+    out = []
+    for i in range(2 * NUM_INPUTS):
+        lane = i // 2
+        y, x = lane // 5, lane % 5
+        out.append(col(reg_a(x, y) + (i % 2)))
+    out.append(col(TIMESTAMP))
+    return tuple(out)
+
+
+def ctl_data_outputs():
+    out = []
+    for i in range(2 * NUM_INPUTS):
+        lane = i // 2
+        y, x = lane // 5, lane % 5
+        lo, hi = reg_appp(x, y)
+        out.append(col(lo if i % 2 == 0 else hi))
+    out.append(col(TIMESTAMP))
+    return tuple(out)
+
+
+def ctl_filter_inputs() -> Filter:
+    return Filter(column=reg_step(0))
+
+
+def ctl_filter_outputs() -> Filter:
+    return Filter(column=reg_step(NUM_ROUNDS - 1))
 
 
 # ---------------------------------------------------------------------------

@@ -16,7 +16,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..stark import Stark, Lookup
+from ..stark import Stark, Lookup, Filter, ColExpr, col
 from .keccak import keccak_f
 
 RATE_BYTES = 136
@@ -175,6 +175,100 @@ def _make_row(op, absorbed, state, block, is_full, padding_from=None):
     for i, c in enumerate(UPDATED_DIGEST_STATE_BYTES):
         row[c] = digest_bytes[i]
     return row, new_state
+
+
+# ---------------------------------------------------------------------------
+# CTL views (all_stark.rs ctl_keccak_sponge / ctl_keccak_inputs/outputs /
+# ctl_logic / ctl_memory)
+# ---------------------------------------------------------------------------
+
+def ctl_looked_data():
+    """What the CPU looks up: addr, input length, timestamp, digest as 8
+    big-endian u32 limbs in reversed order (CPU convention)."""
+    out = []
+    for i in reversed(range(8)):
+        terms = tuple(
+            (UPDATED_DIGEST_STATE_BYTES[4 * i + j], 1 << (24 - 8 * j))
+            for j in range(4))
+        out.append(ColExpr(terms=terms))
+    len_col = ColExpr(
+        terms=((ALREADY_ABSORBED_BYTES, 1),)
+        + tuple((IS_PADDING_BYTE[i], -1) for i in range(RATE_BYTES)),
+        const=RATE_BYTES)
+    return (col(CONTEXT), col(SEGMENT), col(VIRT), len_col,
+            col(TIMESTAMP)) + tuple(out)
+
+
+def ctl_looked_filter() -> Filter:
+    return Filter(column=IS_PADDING_BYTE[-1])
+
+
+def ctl_looking_keccak_inputs():
+    return tuple(col(c) for c in XORED_RATE_U32S) \
+        + tuple(col(c) for c in ORIGINAL_CAPACITY_U32S) \
+        + (col(TIMESTAMP),)
+
+
+def ctl_looking_keccak_outputs():
+    out = []
+    for i in range(DIGEST_U32S):
+        terms = tuple((UPDATED_DIGEST_STATE_BYTES[4 * i + j], 1 << (8 * j))
+                      for j in range(4))
+        out.append(ColExpr(terms=terms))
+    return tuple(out) + tuple(col(c) for c in PARTIAL_UPDATED_STATE_U32S) \
+        + (col(TIMESTAMP),)
+
+
+def ctl_looking_keccak_filter() -> Filter:
+    return Filter(sum_cols=(IS_FULL_INPUT_BLOCK, IS_PADDING_BYTE[-1]))
+
+
+NUM_LOGIC_CTLS = (RATE_BYTES + 31) // 32      # 5
+
+
+def ctl_looking_logic(i: int):
+    """XOR dispatch to the Logic table: opcode 0x18, 8 u32 limbs each of
+    input0 (original rate), input1 (block bytes), output (xored rate)."""
+    zero = ColExpr()
+    out = [ColExpr(const=0x18)]
+    for j in range(8):
+        k = i * 8 + j
+        out.append(col(ORIGINAL_RATE_U32S[k]) if k < RATE_U32S else zero)
+    for j in range(8):
+        k = i * 32 + 4 * j
+        if k < RATE_BYTES:
+            out.append(ColExpr(terms=tuple(
+                (BLOCK_BYTES[k + t], 1 << (8 * t))
+                for t in range(4) if k + t < RATE_BYTES)))
+        else:
+            out.append(zero)
+    for j in range(8):
+        k = i * 8 + j
+        out.append(col(XORED_RATE_U32S[k]) if k < RATE_U32S else zero)
+    return tuple(out)
+
+
+def ctl_looking_logic_filter() -> Filter:
+    return Filter(sum_cols=(IS_FULL_INPUT_BLOCK, IS_PADDING_BYTE[-1]))
+
+
+def ctl_looking_memory(i: int):
+    """Read of input byte i: (is_read=1, ctx, seg, virt+absorbed+i, byte,
+    0*7, timestamp) — matches memory.ctl_data's shape."""
+    return (ColExpr(const=1), col(CONTEXT), col(SEGMENT),
+            ColExpr(terms=((VIRT, 1), (ALREADY_ABSORBED_BYTES, 1)),
+                    const=i),
+            col(BLOCK_BYTES[i])) \
+        + tuple(ColExpr() for _ in range(7)) + (col(TIMESTAMP),)
+
+
+def ctl_looking_memory_filter(i: int) -> Filter:
+    if i == RATE_BYTES - 1:
+        return Filter(column=IS_FULL_INPUT_BLOCK)
+    return Filter(constants=(ColExpr(terms=(
+        (IS_FULL_INPUT_BLOCK, 1),
+        (IS_PADDING_BYTE[-1], 1),
+        (IS_PADDING_BYTE[i], -1))),))
 
 
 class KeccakSpongeStark(Stark):

@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..field import host
-from ..stark import Stark, StarkFrame, ConstraintConsumer
+from ..stark import Stark, StarkFrame, ConstraintConsumer, Filter, ColExpr, col
 
 # column layout
 IS_AND = 0
@@ -28,6 +28,22 @@ RESULT = INPUT1 + 256            # 8 x 32-bit limb columns
 NUM_COLUMNS = RESULT + 8
 
 PACKED_LIMB_BITS = 32
+
+
+def ctl_data():
+    """Looked by CPU and KeccakSponge: opcode (0x16/0x17/0x18 from flags),
+    input0/input1 as 8 packed u32 limbs each (from bits), result limbs."""
+    out = [ColExpr(terms=((IS_AND, 0x16), (IS_OR, 0x17), (IS_XOR, 0x18)))]
+    for base in (INPUT0, INPUT1):
+        for j in range(8):
+            out.append(ColExpr(terms=tuple(
+                (base + 32 * j + t, 1 << t) for t in range(32))))
+    out.extend(col(RESULT + j) for j in range(8))
+    return tuple(out)
+
+
+def ctl_filter() -> Filter:
+    return Filter(sum_cols=(IS_AND, IS_OR, IS_XOR))
 
 
 class LogicStark(Stark):

@@ -199,6 +199,49 @@ def generate_trace(memory_ops: list[MemoryOp],
     return trace, mem_after
 
 
+# ---------------------------------------------------------------------------
+# CTL views (all_stark.rs ctl_memory / ctl_mem_before / ctl_mem_after /
+# ctl_context_pruning)
+# ---------------------------------------------------------------------------
+
+def ctl_data():
+    """(is_read, ctx, seg, virt, 8 value limbs, timestamp)."""
+    return (col(IS_READ), col(ADDR_CONTEXT), col(ADDR_SEGMENT),
+            col(ADDR_VIRTUAL)) \
+        + tuple(col(c) for c in VALUE_COLS) + (col(TIMESTAMP),)
+
+
+def ctl_filter() -> Filter:
+    return Filter(column=FILTER)
+
+
+def ctl_looking_mem():
+    """(ctx, seg, virt, 8 value limbs) for MemBefore/MemAfter."""
+    return (col(ADDR_CONTEXT), col(ADDR_SEGMENT), col(ADDR_VIRTUAL)) \
+        + tuple(col(c) for c in VALUE_COLS)
+
+
+def ctl_filter_mem_before() -> Filter:
+    """Initial values: rows with timestamp 0 (1 - ts * ts_inv)."""
+    return Filter(products=((col(TIMESTAMP),
+                             ColExpr(terms=((TIMESTAMP_INV, -1),))),),
+                  constants=(ColExpr(const=1),))
+
+
+def ctl_filter_mem_after() -> Filter:
+    return Filter(column=MEM_AFTER_FILTER)
+
+
+def ctl_context_pruning_looked():
+    """(stale_contexts - 1) with is_pruned filter (the CPU pushes stale
+    context ids via ctl_context_pruning)."""
+    return (ColExpr(terms=((STALE_CONTEXTS, 1),), const=-1),)
+
+
+def ctl_context_pruning_looked_filter() -> Filter:
+    return Filter(constants=(col(IS_PRUNED),))
+
+
 class MemoryStark(Stark):
     name = "memory"
     num_columns = NUM_COLUMNS

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..stark import Stark
+from ..stark import Stark, Filter, ColExpr, col
 
 FILTER = 0
 ADDR_CONTEXT = 1
@@ -37,6 +37,23 @@ def generate_trace(propagated_values) -> np.ndarray:
         for j, c in enumerate(VALUE_COLS):
             trace[c, r] = (val >> (32 * j)) & 0xFFFFFFFF
     return trace
+
+
+def ctl_data():
+    """(ctx, seg, virt, 8 value limbs) — looked by Memory."""
+    return (col(ADDR_CONTEXT), col(ADDR_SEGMENT), col(ADDR_VIRTUAL)) \
+        + tuple(col(c) for c in VALUE_COLS)
+
+
+def ctl_filter() -> Filter:
+    return Filter(column=FILTER)
+
+
+def ctl_data_memory():
+    """MemBefore rows injected into Memory as timestamp-0 writes."""
+    return (ColExpr(const=0), col(ADDR_CONTEXT), col(ADDR_SEGMENT),
+            col(ADDR_VIRTUAL)) + tuple(col(c) for c in VALUE_COLS) \
+        + (ColExpr(const=0),)
 
 
 class MemoryContinuationStark(Stark):
