@@ -1,0 +1,136 @@
+// Native host-side kernels for zk_evm_tpu.
+//
+// The reference keeps its hot host loops (witness generation, trie
+// hashing) in compiled code; this library is our counterpart for the
+// CPU-resident pieces: keccak-f[1600] / keccak256 (kernel code hashing,
+// MPT node hashing, KECCAK_GENERAL in the interpreter) and vectorized
+// Goldilocks arithmetic for host-side trace post-processing. Loaded via
+// ctypes (pybind11 is not available in the target image); python callers
+// fall back to the pure-python twins when the library isn't built.
+//
+// Build: make -C native    (produces libzkhost.so)
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Keccak-f[1600]
+// ---------------------------------------------------------------------------
+
+static const uint64_t RC[24] = {
+    0x0000000000000001ULL, 0x0000000000008082ULL, 0x800000000000808aULL,
+    0x8000000080008000ULL, 0x000000000000808bULL, 0x0000000080000001ULL,
+    0x8000000080008081ULL, 0x8000000000008009ULL, 0x000000000000008aULL,
+    0x0000000000000088ULL, 0x0000000080008009ULL, 0x000000008000000aULL,
+    0x000000008000808bULL, 0x800000000000008bULL, 0x8000000000008089ULL,
+    0x8000000000008003ULL, 0x8000000000008002ULL, 0x8000000000000080ULL,
+    0x000000000000800aULL, 0x800000008000000aULL, 0x8000000080008081ULL,
+    0x8000000000008080ULL, 0x0000000080000001ULL, 0x8000000080008008ULL};
+
+static const int RHO[25] = {0,  1,  62, 28, 27, 36, 44, 6,  55, 20, 3, 10, 43,
+                            25, 39, 41, 45, 15, 21, 8,  18, 2,  61, 56, 14};
+
+static inline uint64_t rotl(uint64_t v, int n) {
+  return n ? (v << n) | (v >> (64 - n)) : v;
+}
+
+// lanes[x + 5*y] convention (state[x][y] = lanes[x + 5y])
+void keccak_f1600(uint64_t lanes[25]) {
+  uint64_t C[5], D[5], B[25];
+  for (int round = 0; round < 24; round++) {
+    for (int x = 0; x < 5; x++)
+      C[x] = lanes[x] ^ lanes[x + 5] ^ lanes[x + 10] ^ lanes[x + 15] ^
+             lanes[x + 20];
+    for (int x = 0; x < 5; x++) D[x] = C[(x + 4) % 5] ^ rotl(C[(x + 1) % 5], 1);
+    for (int x = 0; x < 5; x++)
+      for (int y = 0; y < 5; y++) {
+        uint64_t v = lanes[x + 5 * y] ^ D[x];
+        B[y + 5 * ((2 * x + 3 * y) % 5)] = rotl(v, RHO[x + 5 * y]);
+      }
+    for (int x = 0; x < 5; x++)
+      for (int y = 0; y < 5; y++)
+        lanes[x + 5 * y] =
+            B[x + 5 * y] ^ ((~B[(x + 1) % 5 + 5 * y]) & B[(x + 2) % 5 + 5 * y]);
+    lanes[0] ^= RC[round];
+  }
+}
+
+// keccak256 (legacy 10*1 padding, rate 136)
+void keccak256(const uint8_t* data, uint64_t len, uint8_t out[32]) {
+  uint64_t lanes[25];
+  std::memset(lanes, 0, sizeof lanes);
+  uint8_t block[136];
+  uint64_t off = 0;
+  while (len - off >= 136) {
+    for (int i = 0; i < 17; i++) {
+      uint64_t w;
+      std::memcpy(&w, data + off + 8 * i, 8);
+      lanes[i] ^= w;
+    }
+    keccak_f1600(lanes);
+    off += 136;
+  }
+  uint64_t rem = len - off;
+  std::memset(block, 0, sizeof block);
+  std::memcpy(block, data + off, rem);
+  block[rem] = 0x01;
+  block[135] |= 0x80;
+  for (int i = 0; i < 17; i++) {
+    uint64_t w;
+    std::memcpy(&w, block + 8 * i, 8);
+    lanes[i] ^= w;
+  }
+  keccak_f1600(lanes);
+  std::memcpy(out, lanes, 32);
+}
+
+// ---------------------------------------------------------------------------
+// Goldilocks (p = 2^64 - 2^32 + 1) vector ops for host post-processing
+// ---------------------------------------------------------------------------
+
+static const uint64_t P = 0xffffffff00000001ULL;
+static const uint64_t EPS = 0xffffffffULL;  // 2^64 mod p
+
+static inline uint64_t gl_add(uint64_t a, uint64_t b) {
+  uint64_t s = a + b;
+  if (s < a) s += EPS;           // wrapped: add 2^64 mod p
+  if (s >= P) s -= P;
+  return s;
+}
+
+static inline uint64_t gl_mul(uint64_t a, uint64_t b) {
+  unsigned __int128 w = (unsigned __int128)a * b;
+  uint64_t lo = (uint64_t)w;
+  uint64_t hi = (uint64_t)(w >> 64);
+  uint64_t n1 = hi & 0xffffffffULL;
+  uint64_t n2 = hi >> 32;
+  // t = lo - n2 (mod p)
+  uint64_t t = lo - n2;
+  if (lo < n2) t -= EPS;
+  if (t >= P) t -= P;
+  uint64_t u = (n1 << 32) - n1;  // n1 * (2^32 - 1) < p
+  return gl_add(t, u);
+}
+
+void gl_vec_add(const uint64_t* a, const uint64_t* b, uint64_t* out,
+                uint64_t n) {
+  for (uint64_t i = 0; i < n; i++) out[i] = gl_add(a[i], b[i]);
+}
+
+void gl_vec_mul(const uint64_t* a, const uint64_t* b, uint64_t* out,
+                uint64_t n) {
+  for (uint64_t i = 0; i < n; i++) out[i] = gl_mul(a[i], b[i]);
+}
+
+// cumulative suffix sums mod p (logUp running-sum generation on host)
+void gl_suffix_sum(const uint64_t* a, uint64_t* out, uint64_t n) {
+  uint64_t acc = 0;
+  for (uint64_t i = n; i-- > 0;) {
+    acc = gl_add(acc, a[i]);
+    out[i] = acc;
+  }
+}
+
+}  // extern "C"

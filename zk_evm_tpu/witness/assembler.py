@@ -352,7 +352,7 @@ def assemble(files, constants, opcodes, optimize=False) -> Kernel:
                     code.extend(label_bytes(lbl, local_labels))
     assert len(code) == offset, "code length doesn't match offset"
 
-    from ..tables.keccak_sponge import keccak256
+    from ..native import keccak256
     code = bytes(code)
     ordered = sorted(global_labels, key=lambda k: global_labels[k])
     return Kernel(code=code, code_hash=keccak256(code),

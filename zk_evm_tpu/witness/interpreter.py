@@ -17,7 +17,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from ..tables.segments import Segment
-from ..tables.keccak_sponge import keccak256
+from ..native import keccak256
 from .assembler import Kernel
 
 U256_MASK = (1 << 256) - 1
