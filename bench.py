@@ -20,12 +20,13 @@ import time
 
 import numpy as np
 
-# Round-1 anchor (Melem/s on TPU v5 lite, first working commit pipeline).
-BASELINE_MELEM_S = 18.4
+# Round-1 anchor: median of device-chained runs on TPU v5 lite (shared
+# pool; occasional contention dips are environmental).
+BASELINE_MELEM_S = 15.0
 
 POLYS = 64
 LOG_N = 15          # 2^15 rows -> 2^16-point LDE, 2M committed elements
-ITERS = 5
+ITERS = 10
 
 
 def main() -> None:
@@ -38,16 +39,27 @@ def main() -> None:
                           dtype=np.uint64)
     gf = GF.from_u64(values)
 
-    # warm-up / compile. NOTE: completion is forced by reading the (tiny)
-    # cap back to host — block_until_ready does not actually block on the
-    # axon tunnel backend.
-    cap = commit_cap(gf, cap_height=4)
-    cap.to_u64()
+    # NOTE on methodology: block_until_ready does not actually block on
+    # the axon tunnel backend and host readbacks measure the tunnel, not
+    # the chip — so iterations are chained on-device (each commit's input
+    # depends on the previous cap) and only the final scalar comes back.
+    import jax.numpy as jnp
+    from zk_evm_tpu.field import GF as _GF
+
+    @jax.jit
+    def chained(values, seed):
+        seeded = _GF(values.lo.at[0, 0].add(seed), values.hi)
+        return commit_cap(seeded, cap_height=4)
+
+    cap = chained(gf, jnp.uint32(0))
+    cap.to_u64()                                  # compile + settle
 
     t0 = time.time()
+    seed = jnp.uint32(0)
     for _ in range(ITERS):
-        cap = commit_cap(gf, cap_height=4)
-        cap.to_u64()
+        cap = chained(gf, seed)
+        seed = cap.lo[0, 0]
+    seed.item()
     dt = (time.time() - t0) / ITERS
 
     elems = POLYS * (1 << LOG_N)

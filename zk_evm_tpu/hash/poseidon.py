@@ -110,9 +110,14 @@ def _sbox7(x: GF) -> GF:
 def permute(state: GF) -> GF:
     """Poseidon permutation over a (..., 12) GF state.
 
-    Rounds run under lax.scan (round constants are the scanned input) so the
-    compiled graph holds one full-round body and one partial-round body —
-    compile time stays flat no matter how often permute is inlined."""
+    Large 2D batches on TPU route to the fused Pallas kernel (state
+    resident in VMEM for all 30 rounds); other shapes/backends use the
+    scanned jnp path below (one full-round body + one partial-round body,
+    so compile time stays flat no matter how often permute is inlined)."""
+    if (state.ndim == 2 and jax.default_backend() not in ("cpu",)):
+        from . import poseidon_pallas as ppal
+        if state.shape[0] % ppal.TILE == 0:
+            return ppal.permute_pallas(state)
     params = pp.default_params()
     rcs = _rc_gf()
     h = params.half_full_rounds

@@ -1,0 +1,180 @@
+"""Fused Pallas TPU kernel for the Poseidon permutation.
+
+The jnp composition materializes every round's intermediates in HBM
+(~30 rounds x a handful of (B, 12) uint32 arrays — tens of GB of traffic
+for a full Merkle leaf hash), which makes commitment hashing bandwidth-
+bound an order of magnitude off roofline. This kernel keeps a tile of
+states resident in VMEM for all 30 rounds: HBM traffic drops to one
+read + one write of the state.
+
+Same math as poseidon.py (which remains the reference implementation and
+the CPU-backend path): uint32 limb arithmetic for the field ops, byte-
+plane exact-f32 matmul for the small-circulant MDS (rides the MXU), x^7
+S-box via the 16-bit-limb multiply. Verified against the exact host twin.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..field import GF
+from ..field import goldilocks as gl
+from . import poseidon_params as pp
+from .poseidon import _mds_matrix_np
+
+MASK16 = np.uint32(0xFFFF)
+TILE = 1024
+
+
+def _mds_tile(lo, hi, mat_t):
+    """MDS on a (12, T) uint32 pair (lanes on the vector dimension) via
+    byte-plane f32 matmuls: out[r, t] = sum_j C[j, r] * in[j, t], i.e.
+    C^T @ in, with inputs split into exact byte planes."""
+    mask8 = np.uint32(0xFF)
+    # Mosaic lacks direct u32<->f32 casts; byte values are < 2^8 so the
+    # round-trip through int32 is exact.
+    planes = jnp.concatenate([
+        lo & mask8, (lo >> 8) & mask8, (lo >> 16) & mask8, lo >> 24,
+        hi & mask8, (hi >> 8) & mask8, (hi >> 16) & mask8, hi >> 24,
+    ], axis=0).astype(jnp.int32).astype(jnp.float32)  # (8*12, T)
+    t = planes.shape[1]
+    s = jnp.dot(mat_t, planes.reshape(8, 12, t).swapaxes(0, 1)
+                .reshape(12, 8 * t),
+                preferred_element_type=jnp.float32) \
+        .reshape(12, 8, t).swapaxes(0, 1) \
+        .astype(jnp.int32).astype(jnp.uint32)          # (8, 12, T)
+    acc = [s[2 * k] + (s[2 * k + 1] << 8) for k in range(4)]  # (12, T)
+    t0 = acc[0] & MASK16
+    c0 = acc[0] >> 16
+    s1 = acc[1] + c0
+    t1 = s1 & MASK16
+    c1 = s1 >> 16
+    s2 = acc[2] + c1
+    t2 = s2 & MASK16
+    c2 = s2 >> 16
+    s3 = acc[3] + c2
+    t3 = s3 & MASK16
+    c3 = s3 >> 16
+    r0 = t0 | (t1 << 16)
+    r1 = t2 | (t3 << 16)
+    return gl.reduce128(r0, r1, c3, jnp.zeros_like(c3))
+
+
+def _sbox7(lo, hi):
+    l2, h2 = gl.mul(lo, hi, lo, hi)
+    l3, h3 = gl.mul(l2, h2, lo, hi)
+    l6, h6 = gl.mul(l3, h3, l3, h3)
+    return gl.mul(l6, h6, lo, hi)
+
+
+def _rc_limb_tables():
+    rcs = pp.round_constants_np()
+    return (rcs & np.uint64(0xFFFFFFFF)).astype(np.uint32), \
+        (rcs >> np.uint64(32)).astype(np.uint32)
+
+
+def _permute_kernel(rc_lo_ref, rc_hi_ref, mat_t_ref,
+                    lo_ref, hi_ref, out_lo_ref, out_hi_ref):
+    params = pp.default_params()
+    mat_t = mat_t_ref[:]
+    lo = lo_ref[:]                              # (12, T)
+    hi = hi_ref[:]
+    h = params.half_full_rounds
+    npart = params.n_partial_rounds
+
+    n_rounds = params.n_rounds
+    rc_lo_tab = rc_lo_ref[:]                    # (12, n_rounds)
+    rc_hi_tab = rc_hi_ref[:]
+
+    def add_rc(lo, hi, rnd):
+        # dynamic lane slices need 128-alignment in Mosaic; select the
+        # round's constants by masked reduction instead
+        mask = jax.lax.broadcasted_iota(jnp.uint32, (1, n_rounds), 1) \
+            == rnd
+        # unsigned reductions unsupported: reduce as int32 (bit-identical)
+        rcl = jnp.sum(jnp.where(mask, rc_lo_tab.astype(jnp.int32), 0),
+                      axis=1, keepdims=True).astype(jnp.uint32)
+        rch = jnp.sum(jnp.where(mask, rc_hi_tab.astype(jnp.int32), 0),
+                      axis=1, keepdims=True).astype(jnp.uint32)
+        return gl.add(lo, hi, rcl, rch)
+
+    # fori_loop bodies keep the Mosaic program small (compile time for the
+    # 30 unrolled rounds is minutes; looped it is seconds)
+    def full_round(rnd, carry):
+        lo, hi = carry
+        lo, hi = add_rc(lo, hi, rnd)
+        lo, hi = _sbox7(lo, hi)
+        lo, hi = _mds_tile(lo, hi, mat_t)
+        return (lo, hi)
+
+    def partial_round(rnd, carry):
+        lo, hi = carry
+        lo, hi = add_rc(lo, hi, rnd)
+        s0l, s0h = _sbox7(lo[:1, :], hi[:1, :])
+        lo = jnp.concatenate([s0l, lo[1:, :]], axis=0)
+        hi = jnp.concatenate([s0h, hi[1:, :]], axis=0)
+        lo, hi = _mds_tile(lo, hi, mat_t)
+        return (lo, hi)
+
+    lo, hi = jax.lax.fori_loop(0, h, full_round, (lo, hi))
+    lo, hi = jax.lax.fori_loop(h, h + npart, partial_round, (lo, hi))
+    lo, hi = jax.lax.fori_loop(h + npart, 2 * h + npart, full_round,
+                               (lo, hi))
+    out_lo_ref[:] = lo
+    out_hi_ref[:] = hi
+
+
+@lru_cache(maxsize=32)
+def _permute_call(batch: int, interpret: bool):
+    grid = (batch // TILE,)
+    spec = pl.BlockSpec((12, TILE), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    n_rounds = pp.default_params().n_rounds
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _permute_kernel,
+        grid=grid,
+        in_specs=[const((12, n_rounds)), const((12, n_rounds)),
+                  const((12, 12)), spec, spec],
+        out_specs=(spec, spec),
+        out_shape=(jax.ShapeDtypeStruct((12, batch), jnp.uint32),
+                   jax.ShapeDtypeStruct((12, batch), jnp.uint32)),
+        interpret=interpret,
+    )
+
+
+@jax.jit
+def _permute_pallas_jit(lo, hi, rc_lo, rc_hi, mat_t):
+    b = lo.shape[0]
+    olo, ohi = _permute_call(b, False)(rc_lo, rc_hi, mat_t, lo.T, hi.T)
+    return olo.T, ohi.T
+
+
+def permute_pallas(state: GF, interpret: bool = False) -> GF:
+    """Poseidon permutation over a (B, 12) GF state, B a multiple of
+    TILE (pad externally or use the jnp path for ragged batches)."""
+    b = state.shape[0]
+    assert b % TILE == 0, (b, TILE)
+    rc_lo, rc_hi = _rc_limb_tables()
+    if interpret:
+        olo, ohi = _permute_call(b, True)(
+            jnp.asarray(rc_lo.T.copy()), jnp.asarray(rc_hi.T.copy()),
+            jnp.asarray(_mds_matrix_np().T.copy()),
+            state.lo.T, state.hi.T)
+        return GF(olo.T, ohi.T)
+    lo, hi = _permute_pallas_jit(
+        state.lo, state.hi, jnp.asarray(rc_lo.T.copy()),
+        jnp.asarray(rc_hi.T.copy()),
+        jnp.asarray(_mds_matrix_np().T.copy()))
+    return GF(lo, hi)
+
+
+def available(batch: int) -> bool:
+    return batch % TILE == 0 and jax.default_backend() not in ("cpu",)
