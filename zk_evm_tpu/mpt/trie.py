@@ -1,0 +1,334 @@
+"""Merkle-Patricia trie (partial trie with Hash nodes).
+
+Functional twin of the reference's mpt_trie crate (/root/reference/
+mpt_trie/src/{partial_trie,nibbles,trie_ops,trie_hashing,trie_subsets}.rs,
+SURVEY.md §2.6): node types Empty/Hash/Branch/Extension/Leaf, insert /
+get / delete over nibble keys, keccak+RLP hashing per the yellow paper
+(sub-encodings shorter than 32 bytes are inlined), and witness
+minimization by replacing off-path subtrees with their hashes — the
+subset property (root unchanged) is what block witnesses rely on.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..native import keccak256
+from .rlp import rlp_encode
+
+EMPTY_TRIE_HASH = bytes.fromhex(
+    "56e81f171bcc55a6ff8345e692c0f86e5b48e01b996cadc001622fb5e363b421")
+
+
+class Nibbles:
+    """A sequence of 4-bit nibbles (most-significant first)."""
+
+    __slots__ = ("nibs",)
+
+    def __init__(self, nibs=()):
+        self.nibs = tuple(nibs)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "Nibbles":
+        out = []
+        for b in data:
+            out.append(b >> 4)
+            out.append(b & 0xF)
+        return cls(out)
+
+    @classmethod
+    def from_int(cls, value: int, bit_len: int = 256) -> "Nibbles":
+        return cls.from_bytes(value.to_bytes(bit_len // 8, "big"))
+
+    def __len__(self):
+        return len(self.nibs)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return Nibbles(self.nibs[i])
+        return self.nibs[i]
+
+    def __eq__(self, other):
+        return self.nibs == other.nibs
+
+    def __add__(self, other):
+        return Nibbles(self.nibs + tuple(other.nibs
+                                         if isinstance(other, Nibbles)
+                                         else other))
+
+    def common_prefix_len(self, other: "Nibbles") -> int:
+        n = 0
+        for a, b in zip(self.nibs, other.nibs):
+            if a != b:
+                break
+            n += 1
+        return n
+
+    def __repr__(self):
+        return "Nibbles(" + "".join(f"{x:x}" for x in self.nibs) + ")"
+
+
+def hex_prefix_encode(nibs: Nibbles, is_leaf: bool) -> bytes:
+    """Yellow-paper HP encoding."""
+    flag = 2 if is_leaf else 0
+    n = list(nibs.nibs)
+    if len(n) % 2 == 1:
+        first = bytes([((flag + 1) << 4) | n[0]])
+        n = n[1:]
+    else:
+        first = bytes([flag << 4])
+    return first + bytes((n[i] << 4) | n[i + 1] for i in range(0, len(n), 2))
+
+
+# ---------------------------------------------------------------------------
+# Nodes
+# ---------------------------------------------------------------------------
+
+class Empty:
+    pass
+
+
+@dataclass
+class HashNode:
+    digest: bytes           # 32 bytes
+
+
+@dataclass
+class Leaf:
+    key: Nibbles
+    value: bytes
+
+
+@dataclass
+class Extension:
+    key: Nibbles
+    child: object
+
+
+@dataclass
+class Branch:
+    children: list          # 16 entries
+    value: bytes
+
+
+EMPTY = Empty()
+
+
+class Trie:
+    def __init__(self):
+        self.root = EMPTY
+
+    # -- queries ----------------------------------------------------------
+    def get(self, key: Nibbles):
+        return _get(self.root, key)
+
+    def insert(self, key: Nibbles, value: bytes):
+        assert value != b"", "empty values not supported"
+        self.root = _insert(self.root, key, bytes(value))
+
+    def delete(self, key: Nibbles):
+        self.root = _delete(self.root, key)
+
+    def root_hash(self) -> bytes:
+        if isinstance(self.root, Empty):
+            return EMPTY_TRIE_HASH
+        if isinstance(self.root, HashNode):
+            return self.root.digest
+        return keccak256(_encode(self.root))
+
+    def mask_subtree(self, path: Nibbles):
+        """Replace the subtree at `path` by its hash (witness
+        minimization; the root hash is unchanged)."""
+        self.root = _mask(self.root, path)
+
+    def items(self):
+        out = []
+        _collect(self.root, Nibbles(), out)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Operations
+# ---------------------------------------------------------------------------
+
+def _get(node, key: Nibbles):
+    if isinstance(node, Empty):
+        return None
+    if isinstance(node, HashNode):
+        raise KeyError("path crosses a hashed-out subtree")
+    if isinstance(node, Leaf):
+        return node.value if node.key == key else None
+    if isinstance(node, Extension):
+        cp = node.key.common_prefix_len(key)
+        if cp < len(node.key):
+            return None
+        return _get(node.child, key[cp:])
+    if isinstance(node, Branch):
+        if len(key) == 0:
+            return node.value or None
+        return _get(node.children[key[0]], key[1:])
+    raise TypeError(node)
+
+
+def _insert(node, key: Nibbles, value: bytes):
+    if isinstance(node, Empty):
+        return Leaf(key, value)
+    if isinstance(node, HashNode):
+        raise KeyError("cannot insert through a hashed-out subtree")
+    if isinstance(node, Leaf):
+        if node.key == key:
+            return Leaf(key, value)
+        return _split(node.key, node.value, key, value)
+    if isinstance(node, Extension):
+        cp = node.key.common_prefix_len(key)
+        if cp == len(node.key):
+            return Extension(node.key,
+                             _insert(node.child, key[cp:], value))
+        # split the extension
+        branch = Branch([EMPTY] * 16, b"")
+        ext_rest = node.key[cp:]
+        inner = node.child if len(ext_rest) == 1 \
+            else Extension(ext_rest[1:], node.child)
+        branch.children[ext_rest[0]] = inner
+        rest = key[cp:]
+        if len(rest) == 0:
+            branch.value = value
+        else:
+            branch.children[rest[0]] = Leaf(rest[1:], value)
+        if cp == 0:
+            return branch
+        return Extension(key[:cp], branch)
+    if isinstance(node, Branch):
+        if len(key) == 0:
+            return Branch(list(node.children), value)
+        c = list(node.children)
+        c[key[0]] = _insert(c[key[0]], key[1:], value)
+        return Branch(c, node.value)
+    raise TypeError(node)
+
+
+def _split(k1: Nibbles, v1: bytes, k2: Nibbles, v2: bytes):
+    cp = k1.common_prefix_len(k2)
+    branch = Branch([EMPTY] * 16, b"")
+    for k, v in ((k1[cp:], v1), (k2[cp:], v2)):
+        if len(k) == 0:
+            branch.value = v
+        else:
+            branch.children[k[0]] = Leaf(k[1:], v)
+    if cp == 0:
+        return branch
+    return Extension(k1[:cp], branch)
+
+
+def _delete(node, key: Nibbles):
+    if isinstance(node, Empty):
+        return node
+    if isinstance(node, HashNode):
+        raise KeyError("cannot delete through a hashed-out subtree")
+    if isinstance(node, Leaf):
+        return EMPTY if node.key == key else node
+    if isinstance(node, Extension):
+        cp = node.key.common_prefix_len(key)
+        if cp < len(node.key):
+            return node
+        child = _delete(node.child, key[cp:])
+        return _normalize_ext(node.key, child)
+    if isinstance(node, Branch):
+        if len(key) == 0:
+            node = Branch(list(node.children), b"")
+        else:
+            c = list(node.children)
+            c[key[0]] = _delete(c[key[0]], key[1:])
+            node = Branch(c, node.value)
+        return _normalize_branch(node)
+    raise TypeError(node)
+
+
+def _normalize_branch(b: Branch):
+    live = [(i, ch) for i, ch in enumerate(b.children)
+            if not isinstance(ch, Empty)]
+    if len(live) == 0:
+        return Leaf(Nibbles(), b.value) if b.value else EMPTY
+    if len(live) == 1 and not b.value:
+        i, ch = live[0]
+        if isinstance(ch, Leaf):
+            return Leaf(Nibbles([i]) + ch.key, ch.value)
+        if isinstance(ch, Extension):
+            return Extension(Nibbles([i]) + ch.key, ch.child)
+        if isinstance(ch, HashNode):
+            return b      # can't collapse through a hash node
+        return Extension(Nibbles([i]), ch)
+    return b
+
+
+def _normalize_ext(key: Nibbles, child):
+    if isinstance(child, Empty):
+        return EMPTY
+    if isinstance(child, Leaf):
+        return Leaf(key + child.key, child.value)
+    if isinstance(child, Extension):
+        return Extension(key + child.key, child.child)
+    return Extension(key, child)
+
+
+def _mask(node, path: Nibbles):
+    if len(path) == 0:
+        return HashNode(_hash_node(node))
+    if isinstance(node, Extension):
+        cp = node.key.common_prefix_len(path)
+        assert cp == len(node.key), "mask path diverges"
+        return Extension(node.key, _mask(node.child, path[cp:]))
+    if isinstance(node, Branch):
+        c = list(node.children)
+        c[path[0]] = _mask(c[path[0]], path[1:])
+        return Branch(c, node.value)
+    raise KeyError("mask path not found")
+
+
+def _collect(node, prefix: Nibbles, out):
+    if isinstance(node, (Empty, HashNode)):
+        return
+    if isinstance(node, Leaf):
+        out.append((prefix + node.key, node.value))
+    elif isinstance(node, Extension):
+        _collect(node.child, prefix + node.key, out)
+    elif isinstance(node, Branch):
+        if node.value:
+            out.append((prefix, node.value))
+        for i, ch in enumerate(node.children):
+            _collect(ch, prefix + Nibbles([i]), out)
+
+
+# ---------------------------------------------------------------------------
+# Hashing (yellow paper c/n functions)
+# ---------------------------------------------------------------------------
+
+def _hash_node(node) -> bytes:
+    if isinstance(node, HashNode):
+        return node.digest
+    return keccak256(_encode(node))
+
+
+def _child_ref(node):
+    """n(J): inline encodings shorter than 32 bytes, else keccak."""
+    if isinstance(node, Empty):
+        return b""
+    if isinstance(node, HashNode):
+        return node.digest
+    enc = _encode(node)
+    if len(enc) < 32:
+        from .rlp import rlp_decode
+        return rlp_decode(enc)      # inline the structure
+    return keccak256(enc)
+
+
+def _encode(node) -> bytes:
+    if isinstance(node, Leaf):
+        return rlp_encode([hex_prefix_encode(node.key, True), node.value])
+    if isinstance(node, Extension):
+        return rlp_encode([hex_prefix_encode(node.key, False),
+                           _child_ref(node.child)])
+    if isinstance(node, Branch):
+        return rlp_encode([_child_ref(c) for c in node.children]
+                          + [node.value])
+    raise TypeError(node)
