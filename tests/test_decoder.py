@@ -1,0 +1,144 @@
+"""Witness wire-format decoder vs the reference's ground-truth cases.
+
+The reference ships six real jerigon witness blobs with their expected
+state roots (trace_decoder/src/cases/zero_jerigon.json) — parsing them
+and matching the roots cross-validates the wire parser, the type-1
+frontend, RLP, keccak, and the MPT hasher against production data.
+"""
+
+import json
+import os
+
+import pytest
+
+from zk_evm_tpu.decoder import parse_wire, type1_frontend
+from zk_evm_tpu.decoder.wire import decode_key, WireError
+from zk_evm_tpu.decoder.type1 import Type1Error
+
+CASES = "/root/reference/trace_decoder/src/cases/zero_jerigon.json"
+needs_cases = pytest.mark.skipif(not os.path.exists(CASES),
+                                 reason="reference cases not mounted")
+
+
+def test_decode_key():
+    # single byte: one bare nibble (Erigon special case)
+    assert decode_key(b"\x0a") == (10,)
+    # even: flags, body bytes split high/low
+    assert decode_key(bytes([0x00, 0x12, 0x34])) == (1, 2, 3, 4)
+    # odd: last byte carries a single high nibble
+    assert decode_key(bytes([0x01, 0x12, 0x30])) == (1, 2, 3)
+    # terminated flag tolerated
+    assert decode_key(bytes([0x02, 0xab])) == (10, 11)
+    with pytest.raises(WireError):
+        decode_key(bytes([0x10]))          # single nibble out of range
+    with pytest.raises(WireError):
+        decode_key(bytes([0x04, 0x12]))    # unknown flag bit
+
+
+def test_parse_rejects_bad_header():
+    with pytest.raises(WireError):
+        parse_wire(b"\x02\x06")
+    with pytest.raises(WireError):
+        parse_wire(b"\x01\xfe")            # unknown opcode
+
+
+def test_empty_root_witness():
+    fe = type1_frontend(b"\x01\x06")
+    from zk_evm_tpu.mpt.trie import EMPTY_TRIE_HASH
+    assert fe.state_root() == EMPTY_TRIE_HASH
+
+
+def test_smt_leaf_rejected_in_type1():
+    # 0x07 node_type=0 address=cbor(1 byte) value=cbor(1 byte)
+    blob = b"\x01\x07\x00\x41\xaa\x41\x01"
+    with pytest.raises(Type1Error):
+        type1_frontend(blob)
+
+
+@needs_cases
+def test_reference_cases_state_roots():
+    cases = json.load(open(CASES))
+    assert len(cases) == 6
+    for ix, case in enumerate(cases):
+        blob = bytes.fromhex(case["bytes"])
+        fe = type1_frontend(blob)
+        assert fe.state_root().hex() == case["expected_state_root"], \
+            f"case {ix} state root mismatch"
+
+
+@needs_cases
+def test_wire_roundtrip_all_reference_blobs():
+    """parse -> encode -> parse is the identity on instruction streams,
+    across all 31 reference blobs (6 jerigon + 25 cdk-erigon)."""
+    from zk_evm_tpu.decoder.wire import encode_wire
+    blobs = [c["bytes"] for c in json.load(open(CASES))]
+    blobs += [c["bytes"] for c in json.load(open(CASES_SMT))]
+    assert len(blobs) == 31
+    for blob in blobs:
+        ins = parse_wire(bytes.fromhex(blob))
+        assert parse_wire(encode_wire(ins)) == ins
+
+
+CASES_SMT = "/root/reference/trace_decoder/src/cases/hermez_cdk_erigon.json"
+
+
+@needs_cases
+def test_type2_frontend_reference_cases():
+    """All 25 cdk-erigon blobs collate; cap-free ones yield roots.
+
+    (Root values use this repo's Poseidon constants, so they are
+    checked for determinism and sensitivity, not against the
+    plonky2-constant expected roots.)"""
+    from zk_evm_tpu.decoder.type2 import type2_frontend
+    cases = json.load(open(CASES_SMT))
+    assert len(cases) == 25
+    capfree = 0
+    for c in cases:
+        fe = type2_frontend(bytes.fromhex(c["bytes"]))
+        assert fe.accounts
+        if not fe.hashes:
+            capfree += 1
+            r = fe.state_root()
+            assert r == type2_frontend(bytes.fromhex(c["bytes"])).state_root()
+            # flipping one account's balance changes the root
+            addr = next(iter(fe.accounts))
+            e = fe.accounts[addr]
+            e.balance = (e.balance or 0) + 1
+            assert fe.state_root() != r
+    assert capfree == 8
+
+
+def test_type2_double_write_rejected():
+    from zk_evm_tpu.decoder.type2 import type2_frontend, Type2Error
+    from zk_evm_tpu.decoder.wire import Instruction
+    leaf = Instruction("smt_leaf", smt_node_type=0,
+                       smt_address=b"\xaa" * 20, value=b"\x01")
+    with pytest.raises(Type2Error):
+        type2_frontend([Instruction("branch", mask=0b11), leaf, leaf])
+
+
+ARTIFACT = "/root/reference/artifacts/witness_b1033.json"
+
+
+@pytest.mark.skipif(not os.path.exists(ARTIFACT),
+                    reason="witness artifact not mounted")
+def test_mainnet_block_witness_pre_state_root():
+    """Full production block witness (block 1033, 118 txns): the decoded
+    pre-state trie root must equal the artifact's checkpoint root."""
+    art = json.load(open(ARTIFACT))
+    compact = art[0]["block_trace"]["trie_pre_images"]["combined"]["compact"]
+    fe = type1_frontend(bytes.fromhex(compact[2:]))
+    expect = art[0]["other_data"]["checkpoint_state_trie_root"]
+    assert "0x" + fe.state_root().hex() == expect
+    assert len(fe.storage) > 100
+
+
+@needs_cases
+def test_reference_case_contents():
+    cases = json.load(open(CASES))
+    fe = type1_frontend(bytes.fromhex(cases[4]["bytes"]))   # biggest blob
+    # a real witness has accounts, some storage, some code
+    assert len(fe.storage) > 0
+    for h, code in fe.code.items():
+        from zk_evm_tpu.native import keccak256
+        assert keccak256(code) == h

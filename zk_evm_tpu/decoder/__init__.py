@@ -1,0 +1,13 @@
+"""Witness decoder: Erigon compact wire format -> partial tries.
+
+TPU-framework frontend twin of the reference's trace_decoder crate:
+wire.rs (instruction stream parser) and type1.rs (MPT frontend).
+"""
+
+from .wire import parse_wire, encode_wire, Instruction
+from .type1 import type1_frontend, Type1Frontend
+from .type2 import type2_frontend, Type2Frontend
+
+__all__ = ["parse_wire", "encode_wire", "Instruction",
+           "type1_frontend", "Type1Frontend",
+           "type2_frontend", "Type2Frontend"]
