@@ -133,6 +133,46 @@ def test_mainnet_block_witness_pre_state_root():
     assert len(fe.storage) > 100
 
 
+@pytest.mark.skipif(not os.path.exists(ARTIFACT),
+                    reason="witness artifact not mounted")
+def test_block_prover_input_pipeline():
+    """Artifact JSON -> BlockProverInput: txn parsing, receipt
+    unwrapping, txn/receipt tries, and the public-value transcript."""
+    from zk_evm_tpu.decoder.inputs import parse_block_prover_input
+    bpi = parse_block_prover_input(json.load(open(ARTIFACT))[0])
+    assert len(bpi.txn_info) == 118
+    # per-txn gas sums to the header's gas_used — real cross-check
+    assert sum(t.gas_used for t in bpi.txn_info) \
+        == bpi.block_metadata.block_gas_used
+    assert bpi.trie_roots_before().state_root \
+        == bpi.checkpoint_state_trie_root
+    # typed receipts must be unwrapped to their 0x02-prefixed payload
+    assert bpi.txn_info[0].receipt_node_bytes[0] == 0x02
+    txns, receipts = bpi.txn_receipt_tries()
+    assert len(txns.root()) == 32 and len(receipts.root()) == 32
+    assert txns.root() != receipts.root()
+    # the whole statement feeds the Fiat-Shamir transcript
+    from zk_evm_tpu.challenger import Challenger
+    from zk_evm_tpu.stark.public_values import PublicValues
+    pv = PublicValues(trie_roots_before=bpi.trie_roots_before(),
+                      block_metadata=bpi.block_metadata,
+                      block_hashes=bpi.block_hashes,
+                      extra_block_data=bpi.initial_extra_data())
+    c = Challenger()
+    pv.observe(c)
+    assert c.get_challenge() > 0
+
+
+def test_map_receipt_bytes():
+    from zk_evm_tpu.decoder.inputs import map_receipt_bytes
+    from zk_evm_tpu.mpt.rlp import rlp_encode
+    legacy = rlp_encode([1, 21000, b"\x00" * 256, []])
+    assert map_receipt_bytes(legacy) == legacy          # lists pass through
+    typed = b"\x02" + rlp_encode([1, 2, 3])
+    wrapped = rlp_encode(typed)
+    assert map_receipt_bytes(wrapped) == typed          # strings unwrap
+
+
 @needs_cases
 def test_reference_case_contents():
     cases = json.load(open(CASES))

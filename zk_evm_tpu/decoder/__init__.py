@@ -7,7 +7,9 @@ wire.rs (instruction stream parser) and type1.rs (MPT frontend).
 from .wire import parse_wire, encode_wire, Instruction
 from .type1 import type1_frontend, Type1Frontend
 from .type2 import type2_frontend, Type2Frontend
+from .inputs import parse_block_prover_input, BlockProverInput
 
 __all__ = ["parse_wire", "encode_wire", "Instruction",
            "type1_frontend", "Type1Frontend",
-           "type2_frontend", "Type2Frontend"]
+           "type2_frontend", "Type2Frontend",
+           "parse_block_prover_input", "BlockProverInput"]
