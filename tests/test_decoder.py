@@ -163,6 +163,127 @@ def test_block_prover_input_pipeline():
     assert c.get_challenge() > 0
 
 
+CHAIN = "/root/reference/artifacts/witness_b3_b6.json"
+
+
+@pytest.mark.skipif(not os.path.exists(CHAIN),
+                    reason="witness artifacts not mounted")
+def test_delta_application_chains_across_blocks():
+    """Blocks 3..6 of the test chain: applying each block's txn deltas
+    (beacon hook, born accounts, storage writes/deletes, code updates,
+    withdrawals) must land exactly on the next block's decoded
+    pre-state root."""
+    from zk_evm_tpu.decoder.inputs import parse_block_prover_input
+    from zk_evm_tpu.decoder.core import middle
+    bpis = [parse_block_prover_input(x) for x in json.load(open(CHAIN))]
+    assert len(bpis) == 4
+    for cur, nxt in zip(bpis, bpis[1:]):
+        batches, _ = middle(cur, batch_size=100)
+        assert batches[-1].after.state_root \
+            == nxt.trie_roots_before().state_root
+
+
+@pytest.mark.skipif(not os.path.exists(ARTIFACT),
+                    reason="witness artifact not mounted")
+def test_delta_application_batch_invariance():
+    """118-txn block: final roots are independent of batch size."""
+    from zk_evm_tpu.decoder.inputs import parse_block_prover_input
+    from zk_evm_tpu.decoder.core import middle
+    bpi = parse_block_prover_input(json.load(open(ARTIFACT))[0])
+    b1, _ = middle(bpi, batch_size=1)
+    b2, _ = middle(bpi, batch_size=20)
+    assert len(b1) == 118 and len(b2) == 6
+    for f in ("state_root", "transactions_root", "receipts_root"):
+        assert getattr(b1[-1].after, f) == getattr(b2[-1].after, f)
+    assert sum(b.gas_used for b in b1) \
+        == bpi.block_metadata.block_gas_used
+
+
+def _replay(bpi, batch):
+    """Reapply one batch from its masked `before` tries."""
+    from zk_evm_tpu.decoder.core import _apply_txn, do_beacon_hook
+    from zk_evm_tpu.decoder.world import Type1World
+    w = Type1World(batch.before)
+    txn_trie, rcpt_trie = batch.before.transactions, batch.before.receipts
+    code_db = dict(batch.before.code)
+    ix = batch.first_txn_ix
+    if ix == 0:
+        do_beacon_hook(w, bpi.block_metadata.block_timestamp,
+                       bpi.block_metadata.parent_beacon_block_root)
+    for txn in bpi.txn_info[ix:ix + len(batch.byte_code)]:
+        txn_trie.insert(ix, txn.byte_code)
+        rcpt_trie.insert(ix, txn.receipt_node_bytes)
+        _apply_txn(w, code_db, txn, {})
+        ix += 1
+    for addr, amt in batch.withdrawals:
+        w.update_balance(addr, lambda b, amt=amt: b + amt)
+    assert w.root() == batch.after.state_root
+    assert txn_trie.root() == batch.after.transactions_root
+    assert rcpt_trie.root() == batch.after.receipts_root
+
+
+@pytest.mark.skipif(not os.path.exists(CHAIN),
+                    reason="witness artifacts not mounted")
+def test_masked_before_tries_replay():
+    """The masked per-batch `before` tries are minimal witnesses: they
+    preserve the roots AND contain enough structure to reapply the
+    batch's deltas and land on the `after` roots."""
+    from zk_evm_tpu.decoder.inputs import parse_block_prover_input
+    from zk_evm_tpu.decoder.core import middle
+    for x in json.load(open(CHAIN)):
+        bpi = parse_block_prover_input(x)
+        batches, _ = middle(bpi, batch_size=2)
+        for b in batches:
+            _replay(bpi, b)
+
+
+@pytest.mark.skipif(not os.path.exists(ARTIFACT),
+                    reason="witness artifact not mounted")
+def test_masked_before_tries_replay_b1033():
+    from zk_evm_tpu.decoder.inputs import parse_block_prover_input
+    from zk_evm_tpu.decoder.core import middle
+    bpi = parse_block_prover_input(json.load(open(ARTIFACT))[0])
+    batches, _ = middle(bpi, batch_size=20)
+    for b in batches:
+        _replay(bpi, b)
+    # masking actually shrinks the witness
+    assert len(batches[0].before.state.items()) \
+        < len(bpi.pre_state.state.items()) // 4
+
+
+def test_trie_subset_and_reporting_delete():
+    from zk_evm_tpu.mpt.trie import Trie, Nibbles
+    t = Trie()
+    keys = {}
+    for i in range(40):
+        k = Nibbles.from_bytes(bytes([i]) * 4)
+        t.insert(k, bytes([i + 1]) * 40)
+        keys[i] = k
+    root = t.root_hash()
+    sub = t.subset([keys[3], keys[7]])
+    assert sub.root_hash() == root                  # root preserved
+    assert sub.get(keys[3]) == bytes([4]) * 40      # kept paths readable
+    assert len(sub.items()) < 40                    # others hashed out
+    # a reported collapse names the merged sibling's path
+    t2 = Trie()
+    t2.insert(Nibbles([1, 2, 3]), b"a" * 40)
+    t2.insert(Nibbles([1, 2, 4]), b"b" * 40)
+    rep = t2.delete_reporting(Nibbles([1, 2, 3]))
+    assert rep is not None and list(rep) == [1, 2, 4]
+    assert t2.get(Nibbles([1, 2, 4])) == b"b" * 40
+
+
+def test_receipt_status():
+    from zk_evm_tpu.decoder.core import receipt_status
+    from zk_evm_tpu.mpt.rlp import rlp_encode
+    legacy_ok = rlp_encode([1, 21000, b"\x00" * 256, []])
+    legacy_fail = rlp_encode([b"", 21000, b"\x00" * 256, []])
+    typed = b"\x02" + rlp_encode([1, 2, b"\x00" * 256, []])
+    assert receipt_status(legacy_ok) == 1
+    assert receipt_status(legacy_fail) == 0
+    assert receipt_status(typed) == 1
+
+
 def test_map_receipt_bytes():
     from zk_evm_tpu.decoder.inputs import map_receipt_bytes
     from zk_evm_tpu.mpt.rlp import rlp_encode

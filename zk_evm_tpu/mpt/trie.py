@@ -141,6 +141,30 @@ class Trie:
         minimization; the root hash is unchanged)."""
         self.root = _mask(self.root, path)
 
+    def delete_reporting(self, key: Nibbles):
+        """Delete, and if a branch collapsed report the path of the
+        sibling that got merged (the reference's
+        delete_node_and_report_remaining_key_if_branch_collapsed;
+        callers add it to witness masks)."""
+        report = []
+        self.root = _delete(self.root, key, Nibbles(), report)
+        return report[0] if report else None
+
+    def subset(self, keys) -> "Trie":
+        """Minimal partial trie containing the given key paths: every
+        node on a requested path is kept (terminals in full), all
+        side subtrees are hashed out.  Root hash is unchanged
+        (mpt_trie::trie_subsets::create_trie_subset)."""
+        t = Trie()
+        t.root = _subset(self.root, [Nibbles(k) for k in keys])
+        return t
+
+    def snapshot(self) -> "Trie":
+        """O(1) copy: all node operations are functional."""
+        t = Trie()
+        t.root = self.root
+        return t
+
     def items(self):
         out = []
         _collect(self.root, Nibbles(), out)
@@ -220,7 +244,7 @@ def _split(k1: Nibbles, v1: bytes, k2: Nibbles, v2: bytes):
     return Extension(k1[:cp], branch)
 
 
-def _delete(node, key: Nibbles):
+def _delete(node, key: Nibbles, prefix: Nibbles = None, report=None):
     if isinstance(node, Empty):
         return node
     if isinstance(node, HashNode):
@@ -231,32 +255,42 @@ def _delete(node, key: Nibbles):
         cp = node.key.common_prefix_len(key)
         if cp < len(node.key):
             return node
-        child = _delete(node.child, key[cp:])
+        child = _delete(node.child, key[cp:],
+                        None if prefix is None else prefix + node.key,
+                        report)
         return _normalize_ext(node.key, child)
     if isinstance(node, Branch):
         if len(key) == 0:
             node = Branch(list(node.children), b"")
         else:
             c = list(node.children)
-            c[key[0]] = _delete(c[key[0]], key[1:])
+            c[key[0]] = _delete(c[key[0]], key[1:],
+                                None if prefix is None
+                                else prefix + Nibbles([key[0]]),
+                                report)
             node = Branch(c, node.value)
-        return _normalize_branch(node)
+        return _normalize_branch(node, prefix, report)
     raise TypeError(node)
 
 
-def _normalize_branch(b: Branch):
+def _normalize_branch(b: Branch, prefix: Nibbles = None, report=None):
     live = [(i, ch) for i, ch in enumerate(b.children)
             if not isinstance(ch, Empty)]
     if len(live) == 0:
         return Leaf(Nibbles(), b.value) if b.value else EMPTY
     if len(live) == 1 and not b.value:
         i, ch = live[0]
+        if report is not None and prefix is not None:
+            report.append(prefix + Nibbles([i]))
         if isinstance(ch, Leaf):
             return Leaf(Nibbles([i]) + ch.key, ch.value)
         if isinstance(ch, Extension):
             return Extension(Nibbles([i]) + ch.key, ch.child)
         if isinstance(ch, HashNode):
-            return b      # can't collapse through a hash node
+            # reference semantics (mpt_trie OnOrphanedHashNode::
+            # CollapseToExtension): assume the hashed-out child is a
+            # branch and point an extension at it
+            return Extension(Nibbles([i]), ch)
         return Extension(Nibbles([i]), ch)
     return b
 
@@ -283,6 +317,39 @@ def _mask(node, path: Nibbles):
         c[path[0]] = _mask(c[path[0]], path[1:])
         return Branch(c, node.value)
     raise KeyError("mask path not found")
+
+
+def _maybe_hash(node):
+    """Hash a subtree out, except short-encoded nodes (their encoding is
+    inlined into the parent, so replacing them with a digest would
+    change the root) and terminals that are already hashes."""
+    if isinstance(node, (Empty, HashNode)):
+        return node
+    enc = _encode(node)
+    if len(enc) < 32:
+        return node
+    return HashNode(keccak256(enc))
+
+
+def _subset(node, keys):
+    if isinstance(node, (Empty, HashNode)):
+        return node
+    if not keys:
+        return _maybe_hash(node)
+    if any(len(k) == 0 for k in keys):
+        return node            # path terminates here: keep in full
+    if isinstance(node, Leaf):
+        return node            # proves presence or absence either way
+    if isinstance(node, Extension):
+        through = [k[len(node.key):] for k in keys
+                   if k.common_prefix_len(node.key) == len(node.key)]
+        return Extension(node.key, _subset(node.child, through))
+    if isinstance(node, Branch):
+        children = [
+            _subset(ch, [k[1:] for k in keys if k[0] == i])
+            for i, ch in enumerate(node.children)]
+        return Branch(children, node.value)
+    raise TypeError(node)
 
 
 def _collect(node, prefix: Nibbles, out):
