@@ -273,6 +273,46 @@ def test_trie_subset_and_reporting_delete():
     assert t2.get(Nibbles([1, 2, 4])) == b"b" * 40
 
 
+def test_batch_txns_shapes():
+    """Mirror of the reference's test_batch (core.rs:302-321): always
+    at least two batches, dummy-padded when the block is short."""
+    from zk_evm_tpu.decoder.core import batch_txns
+    assert [len(b) for b in batch_txns([], 0)] == [1, 1]
+    assert [len(b) for b in batch_txns([1], 0)] == [1, 1]
+    assert [len(b) for b in batch_txns([1, 2], 0)] == [1, 1]
+    assert [len(b) for b in batch_txns([1, 2, 3], 1)] == [1, 1, 1]
+    assert [len(b) for b in batch_txns([1, 2, 3], 2)] == [2, 1]
+    assert [len(b) for b in batch_txns([1, 2, 3], 3)] == [1, 2]
+    assert batch_txns([], 5)[0] == [None]
+
+
+@pytest.mark.skipif(not os.path.exists(CHAIN),
+                    reason="witness artifacts not mounted")
+def test_entrypoint_generation_inputs():
+    """entrypoint(): >=2 GenerationInputs per block (dummy-padded),
+    exact gas accounting, reusable inputs (no aliasing), and the last
+    batch's roots chain into the next block."""
+    from zk_evm_tpu.decoder.inputs import parse_block_prover_input
+    from zk_evm_tpu.decoder.core import entrypoint
+    bpis = [parse_block_prover_input(x) for x in json.load(open(CHAIN))]
+    allg = [entrypoint(b) for b in bpis]     # all first: aliasing check
+    for (cur, nxt), gis in zip(zip(bpis, bpis[1:]), allg):
+        assert len(gis) >= 2
+        assert gis[0].gas_used_before == 0
+        assert gis[-1].gas_used_after \
+            == cur.block_metadata.block_gas_used
+        assert gis[-1].trie_roots_after.state_root \
+            == nxt.trie_roots_before().state_root
+        for g in gis:
+            assert g.checkpoint_state_trie_root \
+                == cur.checkpoint_state_trie_root
+
+
+def test_gwei_to_wei():
+    from zk_evm_tpu.decoder.core import gwei_to_wei
+    assert gwei_to_wei(3) == 3 * 10**9
+
+
 def test_receipt_status():
     from zk_evm_tpu.decoder.core import receipt_status
     from zk_evm_tpu.mpt.rlp import rlp_encode

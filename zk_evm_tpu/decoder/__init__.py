@@ -9,10 +9,12 @@ from .type1 import type1_frontend, Type1Frontend
 from .type2 import type2_frontend, Type2Frontend
 from .inputs import parse_block_prover_input, BlockProverInput
 from .world import Type1World
-from .core import middle, Batch, TrieInputs
+from .core import (middle, entrypoint, batch_txns, Batch, TrieInputs,
+                   GenerationInputs)
 
 __all__ = ["parse_wire", "encode_wire", "Instruction",
            "type1_frontend", "Type1Frontend",
            "type2_frontend", "Type2Frontend",
            "parse_block_prover_input", "BlockProverInput",
-           "Type1World", "middle", "Batch", "TrieInputs"]
+           "Type1World", "middle", "entrypoint", "batch_txns",
+           "Batch", "TrieInputs", "GenerationInputs"]

@@ -73,18 +73,44 @@ class _Masks:
             self.storage.setdefault(haddr, set()).add(tuple(slot_path))
 
 
-def middle(bpi: BlockProverInput, batch_size: int = 1) \
+def batch_txns(txns: list, hint: int) -> list:
+    """Group txns into batches of ~hint, guaranteeing at least TWO
+    batches (the aggregation layer needs two segment proofs); short
+    blocks are padded with dummy (None) entries (core.rs:275-300)."""
+    hint = max(hint, 1)
+    if len(txns) <= 1:
+        padded = list(txns) + [None] * (2 - len(txns))
+        return [[t] for t in padded]
+    batches = [txns[i:i + hint] for i in range(0, len(txns), hint)]
+    if len(batches) < 2:
+        half = len(txns) // 2
+        return [txns[:half], txns[half:]]
+    return batches
+
+
+def gwei_to_wei(amount: int) -> int:
+    return amount * 10**9
+
+
+def middle(bpi: BlockProverInput, batch_size: int = 1,
+           batches_in: list = None, withdrawals: list = None) \
         -> tuple[list, Type1World]:
-    """Apply all txn deltas batch by batch; returns ([Batch], world)."""
+    """Apply all txn deltas batch by batch; returns ([Batch], world).
+
+    `batches_in` entries may contain None for dummy (padding) txns,
+    which don't advance the txn index."""
     world = Type1World(bpi.pre_state)
     code_db = dict(bpi.code_db)
     txn_trie, receipt_trie = TransactionTrie(), ReceiptTrie()
-    batches_in = [bpi.txn_info[i:i + batch_size]
-                  for i in range(0, len(bpi.txn_info), batch_size)] \
-        or [[]]
+    if batches_in is None:
+        batches_in = [bpi.txn_info[i:i + batch_size]
+                      for i in range(0, len(bpi.txn_info), batch_size)] \
+            or [[]]
+    if withdrawals is None:
+        withdrawals = bpi.withdrawals
     out = []
-    txn_ix = 0
-    n_txns = len(bpi.txn_info)
+    txn_ix = loop_ix = 0
+    loop_len = sum(len(b) for b in batches_in)
     for batch in batches_in:
         first_ix = txn_ix
         gas = 0
@@ -101,6 +127,9 @@ def middle(bpi: BlockProverInput, batch_size: int = 1) \
                            bpi.block_metadata.parent_beacon_block_root,
                            masks)
         for txn in batch:
+            loop_ix += 1
+            if txn is None:
+                continue          # dummy padding txn
             if txn.byte_code:
                 byte_code.append(txn.byte_code)
                 txn_trie.insert(txn_ix, txn.byte_code)
@@ -109,12 +138,11 @@ def middle(bpi: BlockProverInput, batch_size: int = 1) \
             _apply_txn(world, code_db, txn, contract_code, masks)
             txn_ix += 1
         wds = []
-        if txn_ix == n_txns and bpi.withdrawals:
-            for addr, amt in bpi.withdrawals:
+        if loop_ix == loop_len and withdrawals:
+            for addr, amt in withdrawals:
                 masks.touch_account(world._haddr(addr))
                 world.update_balance(addr, lambda b, amt=amt: b + amt)
-            wds = list(bpi.withdrawals)
-            n_txns = -1           # apply once only
+            wds = list(withdrawals)
         out.append(Batch(
             first_txn_ix=first_ix, gas_used=gas, byte_code=byte_code,
             contract_code=contract_code, withdrawals=wds,
@@ -233,3 +261,52 @@ def _keccak(b: bytes) -> bytes:
 
 def keccak_of_empty() -> bytes:
     return _keccak(b"")
+
+
+@dataclass
+class GenerationInputs:
+    """Everything one batch proof consumes (the reference's
+    GenerationInputs, evm_arithmetization/src/generation/mod.rs:82-128).
+    Feeds witness generation + the segment prover."""
+    txn_number_before: int
+    gas_used_before: int
+    gas_used_after: int
+    signed_txns: list
+    withdrawals: list
+    tries: TrieInputs
+    trie_roots_after: TrieRoots
+    checkpoint_state_trie_root: bytes
+    checkpoint_consolidated_hash: tuple
+    contract_code: dict
+    block_metadata: object
+    block_hashes: object
+
+
+def entrypoint(bpi: BlockProverInput, batch_size_hint: int = 1) -> list:
+    """Block prover input -> one GenerationInputs per batch
+    (core.rs:43-178).  Withdrawal amounts arrive in gwei and are
+    converted to wei before application."""
+    wds = [(a, gwei_to_wei(v)) for a, v in bpi.withdrawals]
+    batches, _ = middle(bpi,
+                        batches_in=batch_txns(bpi.txn_info,
+                                              batch_size_hint),
+                        withdrawals=wds)
+    out = []
+    running_gas = 0
+    for b in batches:
+        gas_before = running_gas
+        running_gas += b.gas_used
+        out.append(GenerationInputs(
+            txn_number_before=b.first_txn_ix,
+            gas_used_before=gas_before,
+            gas_used_after=running_gas,
+            signed_txns=b.byte_code,
+            withdrawals=b.withdrawals,
+            tries=b.before,
+            trie_roots_after=b.after,
+            checkpoint_state_trie_root=bpi.checkpoint_state_trie_root,
+            checkpoint_consolidated_hash=bpi.checkpoint_consolidated_hash,
+            contract_code=b.contract_code,
+            block_metadata=bpi.block_metadata,
+            block_hashes=bpi.block_hashes))
+    return out

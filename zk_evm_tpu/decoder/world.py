@@ -32,8 +32,11 @@ class Type1World:
     """State + per-account storage tries with reference delta semantics."""
 
     def __init__(self, frontend: Type1Frontend):
-        self.state = frontend.state
-        self.storage = dict(frontend.storage)
+        # snapshot: the world mutates its tries; the caller's frontend
+        # (e.g. a reusable BlockProverInput) must stay untouched
+        self.state = frontend.state.snapshot()
+        self.storage = {h: t.snapshot()
+                        for h, t in frontend.storage.items()}
         self.code = dict(frontend.code)
         # accounts present in the trie but with no storage entry get a
         # root-only (hash-capped) storage trie (world.rs:127-139)
