@@ -1,0 +1,300 @@
+"""CPU table (WIP): opcode decode + clock constraint modules.
+
+Twin of the reference's CpuStark (evm_arithmetization/src/cpu/
+cpu_stark.rs).  This file carries the constraint modules implemented so
+far — decode.rs:86-221 (flag booleanity/exclusivity, aligned opcode
+blocks, kernel-only gating, the manually-classified combined flags) and
+clock.rs (clock starts at 1, increments every row) — plus the host-side
+decoder used by trace generation.  Remaining modules (stack, membus,
+gas, jumps, ...) land with witness recording.
+
+Opcode blocks (start, log2 length checked via top bits, kernel-only):
+the five aligned blocks map 1:1 to flags; eleven combined flags cover
+arbitrary opcode pairs and are pinned by product constraints on the
+recomposed opcode.  Kernel opcode values come from the extracted
+constants table (witness/kernel_constants.json, e.g. SUBMOD=0x0f,
+FP254 ops 0x0c-0x0e, KECCAK_GENERAL=0x21, M-ops 0xfb/0xfc).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..field import host
+from ..stark import Stark, StarkFrame, ConstraintConsumer
+from . import cpu_columns as cc
+
+# (block start, number of top bits that must match, kernel_only, flag)
+ALIGNED_BLOCKS = [
+    (0x14, 7, False, "eq_iszero"),        # 0x14-0x15
+    (0x56, 7, False, "jumps"),            # 0x56-0x57
+    (0x80, 3, False, "dup_swap"),         # 0x80-0x9f
+    (0xf6, 7, True, "context_op"),        # 0xf6-0xf7
+    (0xf9, 8, True, "exit_kernel"),       # 0xf9
+]
+
+COMBINED_FLAGS = ["logic_op", "fp254_op", "binary_op", "ternary_op",
+                  "shift", "m_op_general", "jumpdest_keccak_general",
+                  "not_pop", "pc_push0", "m_op_32bytes",
+                  "push_prover_input"]
+
+# host-side opcode classification (for trace generation)
+_COMBINED_MEMBERS = {
+    "binary_op": [0x01, 0x02, 0x03, 0x04, 0x06, 0x10, 0x11, 0x1a],
+    "ternary_op": [0x08, 0x09, 0x0f],            # SUBMOD kernel-only
+    "fp254_op": [0x0c, 0x0d, 0x0e],              # kernel-only
+    "logic_op": [0x16, 0x17, 0x18],
+    "not_pop": [0x19, 0x50],
+    "shift": [0x1b, 0x1c],
+    "jumpdest_keccak_general": [0x5b, 0x21],     # KECCAK_GENERAL kernel
+    "pc_push0": [0x58, 0x5f],
+    "m_op_general": [0xfb, 0xfc],                # kernel-only
+    "m_op_32bytes": list(range(0xc0, 0xe0)) + [0xf8],   # kernel-only
+    "push_prover_input": list(range(0x60, 0x80)) + [0xee],
+}
+KERNEL_ONLY = ({0x0f, 0x0c, 0x0d, 0x0e, 0x21, 0xfb, 0xfc, 0xee, 0xf8}
+               | set(range(0xc0, 0xe0)))
+
+
+def flag_for(opcode: int, kernel: bool):
+    """Host decode: which single op flag (if any) this opcode sets."""
+    for start, top_bits, kernel_only, flag in ALIGNED_BLOCKS:
+        length = 1 << (8 - top_bits)
+        if start <= opcode < start + length:
+            if kernel_only and not kernel:
+                return None
+            return flag
+    for flag, members in _COMBINED_MEMBERS.items():
+        if opcode in members:
+            if opcode in KERNEL_ONLY and not kernel:
+                return None
+            return flag
+    return None
+
+
+# constant gas schedule (gas.rs:20-49); None = dynamic/handled elsewhere
+G_KERNEL, G_JUMPDEST, G_BASE, G_VERYLOW, G_LOW, G_MID, G_HIGH = \
+    0, 1, 2, 3, 5, 8, 10
+SIMPLE_GAS = {
+    "fp254_op": G_KERNEL, "eq_iszero": G_VERYLOW,
+    "logic_op": G_VERYLOW, "shift": G_VERYLOW, "pc_push0": G_BASE,
+    "dup_swap": G_VERYLOW, "context_op": G_KERNEL,
+    "m_op_32bytes": G_KERNEL, "m_op_general": G_KERNEL,
+}
+
+
+def host_gas(opcode: int, flag: str):
+    """Constant gas cost of a flagged instruction, or None when the
+    cost is dynamic (syscalls, exceptions, EXIT_KERNEL)."""
+    if flag in SIMPLE_GAS:
+        return SIMPLE_GAS[flag]
+    if flag == "jumps":
+        return G_HIGH if opcode & 1 else G_MID          # JUMPI / JUMP
+    if flag == "binary_op":
+        slow = not ((opcode & 1) or (opcode >> 4) & 1)  # MUL DIV MOD
+        return G_LOW if slow else G_VERYLOW
+    if flag == "ternary_op":
+        return 0 if (opcode >> 1) & 1 else G_MID        # SUBMOD free
+    if flag == "not_pop":
+        return G_VERYLOW if opcode & 1 else G_BASE      # NOT / POP
+    if flag == "jumpdest_keccak_general":
+        return G_JUMPDEST if (opcode >> 1) & 1 else G_KERNEL
+    if flag == "push_prover_input":
+        return G_KERNEL if (opcode >> 7) & 1 else G_VERYLOW
+    return None
+
+
+# flags whose rows are "native" instructions: pc advances by one and
+# the kernel flag carries over (control_flow.rs:12-35)
+NATIVE_FLAGS = ["binary_op", "ternary_op", "fp254_op", "eq_iszero",
+                "logic_op", "not_pop", "shift",
+                "jumpdest_keccak_general", "pc_push0", "dup_swap",
+                "context_op", "m_op_general"]
+
+
+def build_cpu_rows(ops, n_rows=None, start_pc=0, halt_pc=0):
+    """(num_columns, n) trace matrix from executed instructions.
+
+    `ops` entries are (opcode, is_kernel) or (opcode, is_kernel, flag)
+    — the explicit flag covers syscall/exception rows, whose opcode is
+    the faulting one.  The program counter starts at start_pc and
+    advances by 1 on native/PROVER_INPUT rows; padding rows are halt
+    rows (kernel mode, pc = halt_pc, running clock, no flags)."""
+    n = max(len(ops), 2)
+    if n_rows is None:
+        n_rows = 1 << max(1, n.bit_length())
+        if n_rows < n + 1:
+            n_rows <<= 1          # at least one halt padding row
+    m = np.zeros((cc.NUM_CPU_COLUMNS, n_rows), dtype=np.uint64)
+    m[cc.CLOCK] = np.arange(1, n_rows + 1, dtype=np.uint64)
+    m[cc.IS_KERNEL_MODE] = 1
+    m[cc.PROGRAM_COUNTER] = halt_pc
+    pc = start_pc
+    gas = 0
+    for r, op in enumerate(ops):
+        opcode, kernel = op[0], op[1]
+        flag = op[2] if len(op) > 2 else flag_for(opcode, kernel)
+        m[cc.IS_KERNEL_MODE, r] = int(kernel)
+        m[cc.PROGRAM_COUNTER, r] = pc
+        m[cc.GAS, r] = gas
+        for b in range(8):
+            m[cc.OPCODE_BITS[b], r] = (opcode >> b) & 1
+        if flag is not None:
+            m[cc.OP[flag], r] = 1
+            if flag == "push_prover_input":
+                m[cc.PUSH_IS_NOT_KERNEL, r] = 0 if kernel else 1
+            cost = host_gas(opcode, flag)
+            gas += cost if cost is not None else 0
+        pc += 1
+    m[cc.GAS, len(ops):] = gas
+    return m
+
+
+class CpuStark(Stark):
+    """CPU table; start_pc/halt_pc are the kernel's `init` and
+    `halt_final` label offsets (control_flow.rs:27-38)."""
+    name = "cpu"
+    num_columns = cc.NUM_CPU_COLUMNS
+
+    def __init__(self, start_pc: int = 0, halt_pc: int = 0):
+        self.start_pc = start_pc
+        self.halt_pc = halt_pc
+
+    def eval(self, frame: StarkFrame, consumer: ConstraintConsumer):
+        lv = frame.local
+        nv = frame.next
+        one = 1
+
+        # ---- clock.rs ----
+        consumer.constraint_first_row(lv[cc.CLOCK] - one)
+        consumer.constraint_transition(nv[cc.CLOCK] - lv[cc.CLOCK] - one)
+
+        # ---- decode.rs ----
+        kernel = lv[cc.IS_KERNEL_MODE]
+        consumer.constraint(kernel * kernel - kernel)
+        bits = [lv[cc.OPCODE_BITS[i]] for i in range(8)]
+        for b in bits:
+            consumer.constraint(b * b - b)
+
+        flags = [lv[cc.OP[f]] for _, _, _, f in ALIGNED_BLOCKS] \
+            + [lv[cc.OP[f]] for f in COMBINED_FLAGS]
+        for f in flags:
+            consumer.constraint(f * f - f)
+        s = flags[0]
+        for f in flags[1:]:
+            s = s + f
+        consumer.constraint(s * s - s)
+
+        # aligned blocks: flag => top bits match and mode is allowed
+        for start, top_bits, kernel_only, name in ALIGNED_BLOCKS:
+            unavailable = (one - kernel) if kernel_only else 0
+            mismatch = None
+            for i in range(7, 7 - top_bits, -1):
+                want = (start >> i) & 1
+                term = (one - bits[i]) if want else bits[i]
+                mismatch = term if mismatch is None else mismatch + term
+            consumer.constraint(lv[cc.OP[name]]
+                                * (mismatch + unavailable))
+
+        opcode = None
+        for i in range(8):
+            t = bits[i] * (1 << i)
+            opcode = t if opcode is None else opcode + t
+        op_high3 = (bits[7] * 0x80) + (bits[6] * 0x40) + (bits[5] * 0x20)
+
+        # kernel-only gating + membership for the combined flags
+        consumer.constraint((kernel - one) * lv[cc.OP["fp254_op"]])
+        consumer.constraint(lv[cc.OP["ternary_op"]] * bits[1]
+                            * (kernel - one))
+        consumer.constraint((kernel - one) * lv[cc.OP["m_op_general"]])
+        consumer.constraint((opcode - 0xfb) * (opcode - 0xfc)
+                            * lv[cc.OP["m_op_general"]])
+        consumer.constraint((kernel - one)
+                            * lv[cc.OP["jumpdest_keccak_general"]]
+                            * (one - bits[1]))
+        consumer.constraint((opcode - 0x21) * (opcode - 0x5b)
+                            * lv[cc.OP["jumpdest_keccak_general"]])
+        consumer.constraint((opcode - 0x58) * (opcode - 0x5f)
+                            * lv[cc.OP["pc_push0"]])
+        consumer.constraint((opcode - 0x19) * (opcode - 0x50)
+                            * lv[cc.OP["not_pop"]])
+        consumer.constraint((kernel - one) * lv[cc.OP["m_op_32bytes"]])
+        consumer.constraint((op_high3 - 0xc0) * (opcode - 0xf8)
+                            * lv[cc.OP["m_op_32bytes"]])
+        consumer.constraint((opcode - 0xee) * (op_high3 - 0x60)
+                            * lv[cc.OP["push_prover_input"]])
+        consumer.constraint(lv[cc.OP["push_prover_input"]] * bits[7]
+                            * (kernel - one))
+
+        # ---- halt.rs / control_flow.rs ----
+        def flag_sum(v):
+            s = v[cc.OP[cpu_flag_names[0]]]
+            for f in cpu_flag_names[1:]:
+                s = s + v[cc.OP[f]]
+            return s
+
+        cpu_flag_names = list(cc.OP)
+        is_cpu = flag_sum(lv)
+        is_cpu_next = flag_sum(nv)
+        halt = one - is_cpu
+        halt_next = one - is_cpu_next
+
+        # halt.rs: halted forever, kernel mode, channels off, at halt_pc
+        consumer.constraint(halt * (halt - one))
+        consumer.constraint_transition(halt * (halt_next - one))
+        consumer.constraint(halt * (kernel - one))
+        for ch in cc.MEM_CHANNELS:
+            consumer.constraint(halt * lv[ch.used])
+        consumer.constraint_last_row(halt - one)
+        consumer.constraint(halt * (lv[cc.PROGRAM_COUNTER]
+                                    - self.halt_pc))
+
+        # control_flow.rs: native instructions advance pc by one and
+        # keep the kernel flag
+        native = lv[cc.OP[NATIVE_FLAGS[0]]]
+        for f in NATIVE_FLAGS[1:]:
+            native = native + lv[cc.OP[f]]
+        pc, npc = lv[cc.PROGRAM_COUNTER], nv[cc.PROGRAM_COUNTER]
+        nkernel = nv[cc.IS_KERNEL_MODE]
+        consumer.constraint_transition(native * (pc - npc + one))
+        consumer.constraint_transition(native * (kernel - nkernel))
+        prover_input = lv[cc.OP["push_prover_input"]] * bits[7]
+        consumer.constraint_transition(prover_input * (pc - npc + one))
+        consumer.constraint_transition(prover_input * (kernel - nkernel))
+        consumer.constraint(lv[cc.OP["push_prover_input"]]
+                            * (kernel + lv[cc.PUSH_IS_NOT_KERNEL]
+                               - one))
+        # re-entering cpu cycles from a halt state: at the kernel entry
+        # point, kernel mode, empty stack
+        last_noncpu = (is_cpu - one) * is_cpu_next
+        consumer.constraint_transition(last_noncpu
+                                       * (npc - self.start_pc))
+        consumer.constraint_transition(last_noncpu * (nkernel - one))
+        consumer.constraint_transition(last_noncpu * nv[cc.STACK_LEN])
+
+        # ---- gas.rs: constant-cost accounting ----
+        gas_diff = nv[cc.GAS] - lv[cc.GAS]
+        for flag, cost in SIMPLE_GAS.items():
+            consumer.constraint_transition(lv[cc.OP[flag]]
+                                           * (gas_diff - cost))
+        jump_cost = bits[0] * (G_HIGH - G_MID) + G_MID
+        consumer.constraint_transition(lv[cc.OP["jumps"]]
+                                       * (gas_diff - jump_cost))
+        cheap = bits[0] + bits[4] - bits[0] * bits[4]   # ADD-class
+        binary_cost = G_LOW - cheap * (G_LOW - G_VERYLOW)
+        consumer.constraint_transition(lv[cc.OP["binary_op"]]
+                                       * (gas_diff - binary_cost))
+        ternary_cost = G_MID - bits[1] * G_MID          # SUBMOD free
+        consumer.constraint_transition(lv[cc.OP["ternary_op"]]
+                                       * (gas_diff - ternary_cost))
+        not_pop_cost = bits[0] * (G_VERYLOW - G_BASE) + G_BASE
+        consumer.constraint_transition(lv[cc.OP["not_pop"]]
+                                       * (gas_diff - not_pop_cost))
+        jkg_cost = bits[1] * G_JUMPDEST
+        consumer.constraint_transition(
+            lv[cc.OP["jumpdest_keccak_general"]] * (gas_diff - jkg_cost))
+        ppi_cost = (one - bits[7]) * G_VERYLOW
+        consumer.constraint_transition(
+            lv[cc.OP["push_prover_input"]] * (gas_diff - ppi_cost))
+        # first executing row of a segment starts at gas 0
+        consumer.constraint_transition(last_noncpu * nv[cc.GAS])
