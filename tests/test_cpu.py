@@ -114,3 +114,28 @@ def test_cpu_proof_roundtrip():
     cfg = _cfg()
     proof = prove_stark(_stark(), _trace(), cfg, Challenger())
     verify_stark(_stark(), proof, cfg, Challenger())
+
+
+def _kernel_run(label, stack):
+    from zk_evm_tpu.witness import assembler as asmblr
+    from zk_evm_tpu.witness.interpreter import Interpreter
+    k = asmblr.combined_kernel()
+    interp = Interpreter(k, initial_offset=k.global_labels[label],
+                         initial_stack=stack)
+    interp.run()
+    return interp
+
+
+def test_cpu_constraints_on_real_kernel_execution():
+    """The recorded instruction stream of a real kernel routine (exp)
+    satisfies the CPU decode/control-flow/gas constraints."""
+    interp = _kernel_run("exp", [0xDEADBEEF, 3, 7])
+    assert interp.stack() == [343]
+    trace, stark = cpu.cpu_rows_from_run(interp)
+    check_constraints(stark, trace)
+    # tampering with the recorded pc of a native row is caught
+    import numpy as np
+    rows = np.nonzero(trace[cc.OP["dup_swap"]])[0]
+    trace[cc.PROGRAM_COUNTER, rows[0]] += 1
+    with pytest.raises(AssertionError):
+        check_constraints(stark, trace)

@@ -115,11 +115,13 @@ NATIVE_FLAGS = ["binary_op", "ternary_op", "fp254_op", "eq_iszero",
 def build_cpu_rows(ops, n_rows=None, start_pc=0, halt_pc=0):
     """(num_columns, n) trace matrix from executed instructions.
 
-    `ops` entries are (opcode, is_kernel) or (opcode, is_kernel, flag)
-    — the explicit flag covers syscall/exception rows, whose opcode is
-    the faulting one.  The program counter starts at start_pc and
-    advances by 1 on native/PROVER_INPUT rows; padding rows are halt
-    rows (kernel mode, pc = halt_pc, running clock, no flags)."""
+    `ops` entries are (opcode, is_kernel), (opcode, is_kernel, flag) or
+    (opcode, is_kernel, flag, pc) — the explicit flag covers
+    syscall/exception rows (whose opcode is the faulting one); the
+    explicit pc replays a recorded execution with jumps.  Without one,
+    the program counter starts at start_pc and advances by 1; padding
+    rows are halt rows (kernel mode, pc = halt_pc, running clock, no
+    flags)."""
     n = max(len(ops), 2)
     if n_rows is None:
         n_rows = 1 << max(1, n.bit_length())
@@ -133,7 +135,10 @@ def build_cpu_rows(ops, n_rows=None, start_pc=0, halt_pc=0):
     gas = 0
     for r, op in enumerate(ops):
         opcode, kernel = op[0], op[1]
-        flag = op[2] if len(op) > 2 else flag_for(opcode, kernel)
+        flag = op[2] if len(op) > 2 and op[2] is not None \
+            else flag_for(opcode, kernel)
+        if len(op) > 3:
+            pc = op[3]
         m[cc.IS_KERNEL_MODE, r] = int(kernel)
         m[cc.PROGRAM_COUNTER, r] = pc
         m[cc.GAS, r] = gas
@@ -148,6 +153,24 @@ def build_cpu_rows(ops, n_rows=None, start_pc=0, halt_pc=0):
         pc += 1
     m[cc.GAS, len(ops):] = gas
     return m
+
+
+def cpu_rows_from_run(interp, n_rows=None):
+    """CPU trace from a finished kernel Interpreter run: replays the
+    recorded (pc, opcode, kernel) steps; the halt pc is wherever
+    execution stopped.  Returns (trace, CpuStark)."""
+    ops = []
+    for pc, opcode, kernel in interp.trace:
+        flag = flag_for(opcode, kernel)
+        if flag is None:
+            raise ValueError(
+                f"executed opcode {opcode:#x} (kernel={kernel}) has no "
+                f"decode flag at pc {pc}")
+        ops.append((opcode, kernel, flag, pc))
+    halt_pc = interp.registers.program_counter
+    trace = build_cpu_rows(ops, n_rows=n_rows, halt_pc=halt_pc)
+    first_pc = interp.trace[0][0] if interp.trace else 0
+    return trace, CpuStark(start_pc=first_pc, halt_pc=halt_pc)
 
 
 class CpuStark(Stark):

@@ -72,6 +72,7 @@ class Interpreter:
         self.memory = MemoryState()
         self.registers = Registers(program_counter=initial_offset)
         self.clock = 0
+        self.trace = []          # (pc, opcode, is_kernel) per step
         self.max_cycles = max_cycles
         self.prover_input_values = list(prover_inputs or [])
         self.halt_offsets = set(halt_offsets if halt_offsets is not None
@@ -126,6 +127,7 @@ class Interpreter:
         pc = r.program_counter
         assert pc < len(self.code), f"pc {pc} out of code bounds"
         op = self.code[pc]
+        self.trace.append((pc, op, r.is_kernel))
         r.program_counter += 1
         self.execute(op)
 
