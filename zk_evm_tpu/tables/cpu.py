@@ -295,6 +295,16 @@ class CpuStark(Stark):
         consumer.constraint_transition(last_noncpu * (nkernel - one))
         consumer.constraint_transition(last_noncpu * nv[cc.STACK_LEN])
 
+        # ---- membus.rs ----
+        # code_context is 0 in kernel mode, the current context in user
+        consumer.constraint(lv[cc.CODE_CONTEXT]
+                            - (one - kernel) * lv[cc.CONTEXT])
+        for ch in cc.MEM_CHANNELS:
+            u = lv[ch.used]
+            consumer.constraint(u * (u - one))
+        pu = lv[cc.PARTIAL_CHANNEL.used]
+        consumer.constraint(pu * (pu - one))
+
         # ---- gas.rs: constant-cost accounting ----
         gas_diff = nv[cc.GAS] - lv[cc.GAS]
         for flag, cost in SIMPLE_GAS.items():
