@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from ..native import keccak256
 from ..mpt.rlp import rlp_encode, rlp_decode
-from ..mpt.trie import Trie, Nibbles, HashNode
+from ..mpt.trie import Trie, Nibbles, HashNode, EMPTY_TRIE_HASH
 from ..mpt.world import Account
 from .type1 import Type1Frontend
 
@@ -46,7 +46,6 @@ class Type1World:
                           for i in range(0, 64, 2))
             if haddr not in self.storage:
                 t = Trie()
-                from ..mpt.trie import EMPTY_TRIE_HASH
                 if acct.storage_root != EMPTY_TRIE_HASH:
                     t.root = HashNode(acct.storage_root)
                 self.storage[haddr] = t
