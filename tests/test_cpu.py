@@ -1,4 +1,5 @@
-"""CPU table (decode/clock/halt/control-flow): host checks + roundtrip."""
+"""CPU table (decode/clock/halt/control-flow/gas/membus/stack):
+host checks on real assembled-kernel executions + proof roundtrip."""
 
 import numpy as np
 import pytest
@@ -10,35 +11,34 @@ from zk_evm_tpu.tables import cpu
 from zk_evm_tpu.tables import cpu_columns as cc
 from tests.test_stark import _cfg
 
-START_PC, HALT_PC = 7, 99
-
-# a coherent little program: kernel prologue, EXIT_KERNEL to user code,
-# a syscall back, then halt padding
-OPS = [
-    (0x01, True),            # ADD            (native)
-    (0x0f, True),            # SUBMOD         (native, kernel-only)
-    (0x21, True),            # KECCAK_GENERAL (native, kernel-only)
-    (0xfb, True),            # MLOAD_GENERAL  (native, kernel-only)
-    (0xc3, True),            # MSTORE_32BYTES_4
-    (0xee, True),            # PROVER_INPUT   (pc+1, same mode)
-    (0xf9, True),            # EXIT_KERNEL    -> user mode
-    (0x01, False),           # ADD            (native)
-    (0x16, False),           # AND            (native)
-    (0x60, False),           # PUSH1
-    (0x50, False),           # POP            (native)
-    (0x58, False),           # PC             (native)
-    (0x91, False),           # SWAP2          (native)
-    (0x00, False, "syscall"),  # STOP via syscall -> kernel halt path
-]
+SRC = """
+GLOBAL stack_test:
+    PUSH 5
+    PUSH 3
+    ADD
+    NOT
+    POP
+    PUSH 6
+    PUSH 7
+    MUL
+    DUP1
+    LT
+    POP
+    JUMPDEST
+    PUSH 0xdeadbeef
+    JUMP
+"""
 
 
-def _trace(n_rows=32):
-    return cpu.build_cpu_rows(OPS, n_rows=n_rows, start_pc=START_PC,
-                              halt_pc=HALT_PC)
-
-
-def _stark():
-    return cpu.CpuStark(start_pc=START_PC, halt_pc=HALT_PC)
+def _run_custom():
+    from zk_evm_tpu.witness import asm_parser as ap, assembler as asmblr
+    from zk_evm_tpu.witness.interpreter import Interpreter
+    consts, opcodes, _ = asmblr.load_tables()
+    k = asmblr.assemble([ap.parse(SRC)], consts, opcodes)
+    interp = Interpreter(k, initial_offset=k.global_labels["stack_test"])
+    interp.run()
+    assert interp.stack() == []
+    return interp
 
 
 def test_flag_for():
@@ -50,49 +50,6 @@ def test_flag_for():
     assert cpu.flag_for(0x9f, False) == "dup_swap"
     assert cpu.flag_for(0xa0, False) is None
     assert cpu.flag_for(0xdf, True) == "m_op_32bytes"
-
-
-def test_host_constraints_hold():
-    check_constraints(_stark(), _trace())
-
-
-def test_host_constraints_catch_violations():
-    # claim ADD row is a jump
-    t = _trace()
-    t[cc.OP["jumps"], 0] = 1
-    t[cc.OP["binary_op"], 0] = 0
-    with pytest.raises(AssertionError):
-        check_constraints(_stark(), t)
-    # kernel-only op flagged in user mode
-    t = _trace()
-    t[cc.IS_KERNEL_MODE, 1] = 0
-    with pytest.raises(AssertionError):
-        check_constraints(_stark(), t)
-    # broken clock
-    t = _trace()
-    t[cc.CLOCK, 5] = 99
-    with pytest.raises(AssertionError):
-        check_constraints(_stark(), t)
-    # halt rows must sit at the halt label
-    t = _trace()
-    t[cc.PROGRAM_COUNTER, 20] = HALT_PC + 1
-    with pytest.raises(AssertionError):
-        check_constraints(_stark(), t)
-    # un-halting is forbidden
-    t = _trace()
-    t[cc.OP["binary_op"], 20] = 1
-    with pytest.raises(AssertionError):
-        check_constraints(_stark(), t)
-    # native instructions must advance pc by one
-    t = _trace()
-    t[cc.PROGRAM_COUNTER, 1] = 55
-    with pytest.raises(AssertionError):
-        check_constraints(_stark(), t)
-    # gas must be charged exactly (ADD costs 3)
-    t = _trace()
-    t[cc.GAS, 1] = t[cc.GAS, 0] + 5
-    with pytest.raises(AssertionError):
-        check_constraints(_stark(), t)
 
 
 def test_host_gas():
@@ -110,32 +67,100 @@ def test_host_gas():
     assert cpu.host_gas(0xf9, "exit_kernel") is None
 
 
-def test_cpu_proof_roundtrip():
-    cfg = _cfg()
-    proof = prove_stark(_stark(), _trace(), cfg, Challenger())
-    verify_stark(_stark(), proof, cfg, Challenger())
+def test_custom_program_constraints_and_negatives():
+    interp = _run_custom()
+    trace, stark = cpu.cpu_rows_from_run(interp)
+    check_constraints(stark, trace)
+
+    def tampered():
+        t, s = cpu.cpu_rows_from_run(interp)
+        return t, s
+
+    # claim the ADD row is a jump
+    t, s = tampered()
+    add_row = int(np.nonzero(t[cc.OP["binary_op"]])[0][0])
+    t[cc.OP["jumps"], add_row] = 1
+    t[cc.OP["binary_op"], add_row] = 0
+    with pytest.raises(AssertionError):
+        check_constraints(s, t)
+    # drop the second-operand stack read of the ADD
+    t, s = tampered()
+    t[cc.MEM_CHANNELS[1].used, add_row] = 0
+    with pytest.raises(AssertionError):
+        check_constraints(s, t)
+    # lie about the read address
+    t, s = tampered()
+    t[cc.MEM_CHANNELS[1].addr_virtual, add_row] += 3
+    with pytest.raises(AssertionError):
+        check_constraints(s, t)
+    # drop the old-top write-back of a push onto a non-empty stack
+    t, s = tampered()
+    push_rows = np.nonzero(t[cc.PARTIAL_CHANNEL.used])[0]
+    t[cc.PARTIAL_CHANNEL.used, int(push_rows[0])] = 0
+    with pytest.raises(AssertionError):
+        check_constraints(s, t)
+    # wrong stack length after a pop
+    t, s = tampered()
+    pop_row = int(np.nonzero(t[cc.OP["not_pop"]])[0][-1])  # the POP
+    t[cc.STACK_LEN, pop_row + 1] += 1
+    with pytest.raises(AssertionError):
+        check_constraints(s, t)
+    # broken clock
+    t, s = tampered()
+    t[cc.CLOCK, 5] = 99
+    with pytest.raises(AssertionError):
+        check_constraints(s, t)
+    # halt rows must sit at the halt label
+    t, s = tampered()
+    t[cc.PROGRAM_COUNTER, trace.shape[1] - 1] += 1
+    with pytest.raises(AssertionError):
+        check_constraints(s, t)
 
 
-def _kernel_run(label, stack):
+def test_exp_kernel_run_constraints():
+    """The real kernel exp routine's recorded execution satisfies every
+    implemented CPU constraint (incl. its stack channel witness)."""
     from zk_evm_tpu.witness import assembler as asmblr
     from zk_evm_tpu.witness.interpreter import Interpreter
     k = asmblr.combined_kernel()
-    interp = Interpreter(k, initial_offset=k.global_labels[label],
-                         initial_stack=stack)
+    interp = Interpreter(k, initial_offset=k.global_labels["exp"],
+                         initial_stack=[0xDEADBEEF, 3, 7])
     interp.run()
-    return interp
-
-
-def test_cpu_constraints_on_real_kernel_execution():
-    """The recorded instruction stream of a real kernel routine (exp)
-    satisfies the CPU decode/control-flow/gas constraints."""
-    interp = _kernel_run("exp", [0xDEADBEEF, 3, 7])
     assert interp.stack() == [343]
     trace, stark = cpu.cpu_rows_from_run(interp)
     check_constraints(stark, trace)
-    # tampering with the recorded pc of a native row is caught
-    import numpy as np
+    # tampering with a recorded native pc is caught
     rows = np.nonzero(trace[cc.OP["dup_swap"]])[0]
-    trace[cc.PROGRAM_COUNTER, rows[0]] += 1
+    trace[cc.PROGRAM_COUNTER, int(rows[0])] += 1
     with pytest.raises(AssertionError):
         check_constraints(stark, trace)
+
+
+def test_user_mode_exit_kernel_and_syscall():
+    """Hand-built user-mode segment: EXIT_KERNEL into user code, a
+    syscall back; overflow aux + push write-backs filled by the
+    builder."""
+    ops = [
+        (0xf9, True, "exit_kernel", 0, (7,)),
+        (0x60, False, "push_prover_input", 5, ()),
+        (0x60, False, "push_prover_input", 7, (5,)),
+        (0x01, False, "binary_op", 9, (5, 3)),
+        (0x60, False, "push_prover_input", 10, (8,)),
+        (0x56, False, "jumps", 12, (8, 99)),
+    ]
+    trace = cpu.build_cpu_rows(ops, n_rows=16, halt_pc=77)
+    stark = cpu.CpuStark(start_pc=0, halt_pc=77)
+    check_constraints(stark, trace)
+    # kernel-only EXIT_KERNEL flagged in user mode is caught
+    t = cpu.build_cpu_rows(ops, n_rows=16, halt_pc=77)
+    t[cc.IS_KERNEL_MODE, 0] = 0
+    with pytest.raises(AssertionError):
+        check_constraints(stark, t)
+
+
+def test_cpu_proof_roundtrip():
+    interp = _run_custom()
+    trace, stark = cpu.cpu_rows_from_run(interp)
+    cfg = _cfg()
+    proof = prove_stark(stark, trace, cfg, Challenger())
+    verify_stark(stark, proof, cfg, Challenger())

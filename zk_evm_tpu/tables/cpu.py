@@ -104,6 +104,28 @@ def host_gas(opcode: int, flag: str):
     return None
 
 
+# stack behaviors per flag: (num_pops, pushes, disable_other_channels)
+# (stack.rs:110-165; flags absent here have their stack semantics in
+# their own module — dup_swap, jumps, eq_iszero, context_op,
+# m_op_general — or the POP/NOT split below)
+STACK_SEGMENT = 1                 # Segment::Stack.unscale()
+STACK_BEHAVIORS = {
+    "binary_op": (2, True, True),
+    "ternary_op": (3, True, True),
+    "fp254_op": (2, True, True),
+    "logic_op": (2, True, True),
+    "shift": (2, True, False),
+    "push_prover_input": (0, True, True),
+    "pc_push0": (0, True, True),
+    "m_op_32bytes": (2, True, False),
+    "exit_kernel": (1, False, True),
+    "syscall": (0, True, False),
+    "exception": (0, True, False),
+}
+# ops that can push the user stack past 1024 (stack.rs MIGHT_OVERFLOW)
+MIGHT_OVERFLOW = ["push_prover_input", "pc_push0", "dup_swap",
+                  "exit_kernel"]
+
 # flags whose rows are "native" instructions: pc advances by one and
 # the kernel flag carries over (control_flow.rs:12-35)
 NATIVE_FLAGS = ["binary_op", "ternary_op", "fp254_op", "eq_iszero",
@@ -139,6 +161,7 @@ def build_cpu_rows(ops, n_rows=None, start_pc=0, halt_pc=0):
             else flag_for(opcode, kernel)
         if len(op) > 3:
             pc = op[3]
+        stack = op[4] if len(op) > 4 else None
         m[cc.IS_KERNEL_MODE, r] = int(kernel)
         m[cc.PROGRAM_COUNTER, r] = pc
         m[cc.GAS, r] = gas
@@ -150,9 +173,156 @@ def build_cpu_rows(ops, n_rows=None, start_pc=0, halt_pc=0):
                 m[cc.PUSH_IS_NOT_KERNEL, r] = 0 if kernel else 1
             cost = host_gas(opcode, flag)
             gas += cost if cost is not None else 0
+        if stack is not None:
+            _fill_stack_witness(m, r, opcode, flag, stack)
         pc += 1
     m[cc.GAS, len(ops):] = gas
+    _fill_overflow_aux(m, ops)
     return m
+
+
+def _limbs(v):
+    return [(v >> (32 * j)) & 0xFFFFFFFF for j in range(8)]
+
+
+def _set_value(m, r, ch, v):
+    for j, limb in enumerate(_limbs(v)):
+        m[ch.value[j], r] = limb
+
+
+def _read_channel(m, r, ch, virt, value=None):
+    if r >= m.shape[1]:
+        return
+    m[ch.used, r] = 1
+    m[ch.is_read, r] = 1
+    m[ch.addr_context, r] = 0
+    m[ch.addr_segment, r] = STACK_SEGMENT
+    m[ch.addr_virtual, r] = virt
+    if value is not None:
+        _set_value(m, r, ch, value)
+
+
+def _fill_stack_witness(m, r, opcode, flag, stack):
+    """Memory-channel + stack-helper columns for one row, from the
+    before-stack (the witness-generation side of stack.rs)."""
+    from ..field import host
+    L = len(stack)
+    m[cc.STACK_LEN, r] = L
+    if L:
+        _set_value(m, r, cc.MEM_CHANNELS[0], stack[-1])
+    behavior = STACK_BEHAVIORS.get(flag)
+    if flag == "jumpdest_keccak_general":
+        behavior = (0, False, True) if (opcode >> 1) & 1 \
+            else (2, True, True)
+    if flag == "not_pop":
+        behavior = (1, True, True) if opcode & 1 else None
+        inv = host.finv((L - 1) % host.P) if L != 1 else 0
+        m[cc.STACK_INV, r] = inv
+        m[cc.STACK_INV_AUX, r] = 1 if L != 1 else 0
+        if not (opcode & 1):                  # POP
+            m[cc.STACK_INV_AUX_2, r] = m[cc.STACK_INV_AUX, r]
+            if L > 1:
+                _read_channel(m, r + 1, cc.MEM_CHANNELS[0], L - 2)
+    if behavior is None:
+        return
+    num_pops, pushes, _ = behavior
+    for i in range(1, num_pops):
+        _read_channel(m, r, cc.MEM_CHANNELS[i], L - 1 - i,
+                      stack[-1 - i])
+    if num_pops > 0 and not pushes:
+        inv = host.finv((L - num_pops) % host.P) if L != num_pops else 0
+        m[cc.STACK_INV, r] = inv
+        m[cc.STACK_INV_AUX, r] = 1 if L != num_pops else 0
+        if L > num_pops:
+            _read_channel(m, r + 1, cc.MEM_CHANNELS[0],
+                          L - num_pops - 1)
+    elif num_pops == 0 and pushes:
+        inv = host.finv(L) if L else 0
+        m[cc.STACK_INV, r] = inv
+        m[cc.STACK_INV_AUX, r] = 1 if L else 0
+        if L:
+            pch = cc.PARTIAL_CHANNEL
+            m[pch.used, r] = 1
+            m[pch.is_read, r] = 0
+            m[pch.addr_context, r] = 0
+            m[pch.addr_segment, r] = STACK_SEGMENT
+            m[pch.addr_virtual, r] = L - 1
+
+
+def _fill_overflow_aux(m, ops):
+    """stack_len_bounds_aux: pseudoinverse of (next stack_len - 1025)
+    when the next row is user mode (stack.rs MIGHT_OVERFLOW)."""
+    from ..field import host
+    n_rows = m.shape[1]
+    for r in range(min(len(ops), n_rows - 1)):
+        if any(m[cc.OP[f], r] for f in MIGHT_OVERFLOW):
+            if m[cc.IS_KERNEL_MODE, r + 1] == 0:
+                diff = (int(m[cc.STACK_LEN, r + 1])
+                        - (cc.MAX_USER_STACK_SIZE + 1)) % host.P
+                m[cc.STACK_LEN_BOUNDS_AUX, r] = host.finv(diff)
+
+
+def _eval_stack_one(lv, nv, filt, behavior, consumer):
+    """Constraints for one StackBehavior (stack.rs:180-300):
+    pops read channels 1..n at stack[len-2]...; push-only ops write the
+    old top through the partial channel; no-op behaviors freeze the
+    cached top; the new stack length is pinned."""
+    num_pops, pushes, disable = behavior
+    one = 1
+    top = cc.MEM_CHANNELS[0]
+    if num_pops > 0:
+        for i in range(1, num_pops):
+            ch = cc.MEM_CHANNELS[i]
+            consumer.constraint(filt * (lv[ch.used] - one))
+            consumer.constraint(filt * (lv[ch.is_read] - one))
+            consumer.constraint(filt * (lv[ch.addr_context]
+                                        - lv[cc.CONTEXT]))
+            consumer.constraint(filt * (lv[ch.addr_segment]
+                                        - STACK_SEGMENT))
+            consumer.constraint(filt * (lv[ch.addr_virtual]
+                                        - (lv[cc.STACK_LEN] - (i + 1))))
+        consumer.constraint(filt * lv[cc.PARTIAL_CHANNEL.used])
+        if not pushes:
+            len_diff = lv[cc.STACK_LEN] - num_pops
+            nf = len_diff * filt
+            consumer.constraint_transition(nf * (nv[top.used] - one))
+            consumer.constraint_transition(nf * (nv[top.is_read] - one))
+            consumer.constraint_transition(
+                nf * (nv[top.addr_context] - nv[cc.CONTEXT]))
+            consumer.constraint_transition(
+                nf * (nv[top.addr_segment] - STACK_SEGMENT))
+            consumer.constraint_transition(
+                nf * (nv[top.addr_virtual] - (nv[cc.STACK_LEN] - one)))
+            consumer.constraint(filt * (len_diff * lv[cc.STACK_INV]
+                                        - lv[cc.STACK_INV_AUX]))
+            consumer.constraint_transition(
+                filt * (lv[cc.STACK_INV_AUX] - one) * nv[top.used])
+    elif pushes:
+        nf = lv[cc.STACK_LEN] * filt
+        pch = cc.PARTIAL_CHANNEL
+        consumer.constraint(nf * (lv[pch.used] - one))
+        consumer.constraint(nf * lv[pch.is_read])
+        consumer.constraint(nf * (lv[pch.addr_context] - lv[cc.CONTEXT]))
+        consumer.constraint(nf * (lv[pch.addr_segment] - STACK_SEGMENT))
+        consumer.constraint(nf * (lv[pch.addr_virtual]
+                                  - (lv[cc.STACK_LEN] - one)))
+        consumer.constraint(filt * (lv[cc.STACK_LEN] * lv[cc.STACK_INV]
+                                    - lv[cc.STACK_INV_AUX]))
+        consumer.constraint(filt * (lv[cc.STACK_INV_AUX] - one)
+                            * lv[pch.used])
+    else:
+        consumer.constraint(filt * nv[top.used])
+        for j in range(8):
+            consumer.constraint(filt * (lv[top.value[j]]
+                                        - nv[top.value[j]]))
+        consumer.constraint(filt * lv[cc.PARTIAL_CHANNEL.used])
+    if disable:
+        for i in range(max(1, num_pops),
+                       cc.N_GP_CHANNELS - int(pushes)):
+            consumer.constraint(filt * lv[cc.MEM_CHANNELS[i].used])
+    consumer.constraint_transition(
+        filt * (nv[cc.STACK_LEN]
+                - (lv[cc.STACK_LEN] - num_pops + int(pushes))))
 
 
 def cpu_rows_from_run(interp, n_rows=None):
@@ -160,13 +330,13 @@ def cpu_rows_from_run(interp, n_rows=None):
     recorded (pc, opcode, kernel) steps; the halt pc is wherever
     execution stopped.  Returns (trace, CpuStark)."""
     ops = []
-    for pc, opcode, kernel in interp.trace:
+    for pc, opcode, kernel, stack in interp.trace:
         flag = flag_for(opcode, kernel)
         if flag is None:
             raise ValueError(
                 f"executed opcode {opcode:#x} (kernel={kernel}) has no "
                 f"decode flag at pc {pc}")
-        ops.append((opcode, kernel, flag, pc))
+        ops.append((opcode, kernel, flag, pc, stack))
     halt_pc = interp.registers.program_counter
     trace = build_cpu_rows(ops, n_rows=n_rows, halt_pc=halt_pc)
     first_pc = interp.trace[0][0] if interp.trace else 0
@@ -331,3 +501,58 @@ class CpuStark(Stark):
             lv[cc.OP["push_prover_input"]] * (gas_diff - ppi_cost))
         # first executing row of a segment starts at gas 0
         consumer.constraint_transition(last_noncpu * nv[cc.GAS])
+
+        # ---- stack.rs ----
+        for flag, behavior in STACK_BEHAVIORS.items():
+            _eval_stack_one(lv, nv, lv[cc.OP[flag]], behavior, consumer)
+        # JUMPDEST (0 pops, no push) / KECCAK_GENERAL (2 pops, push)
+        jkg = lv[cc.OP["jumpdest_keccak_general"]]
+        _eval_stack_one(lv, nv, jkg * bits[1], (0, False, True),
+                        consumer)
+        _eval_stack_one(lv, nv, jkg * (one - bits[1]), (2, True, True),
+                        consumer)
+        # NOT: unary, via its simple_logic filter (not.rs:23-31), with
+        # the bitwise-complement value constraint
+        not_f = lv[cc.OP["not_pop"]] * bits[0]
+        _eval_stack_one(lv, nv, not_f, (1, True, True), consumer)
+        for j in range(8):
+            consumer.constraint_transition(
+                not_f * (lv[cc.MEM_CHANNELS[0].value[j]]
+                         + nv[cc.MEM_CHANNELS[0].value[j]]
+                         - 0xFFFFFFFF))
+        # POP: special handling (stack.rs:346-379)
+        np_f = lv[cc.OP["not_pop"]]
+        len_m1 = lv[cc.STACK_LEN] - one
+        consumer.constraint(np_f * (len_m1 * lv[cc.STACK_INV]
+                                    - lv[cc.STACK_INV_AUX]))
+        is_top_read = lv[cc.STACK_INV_AUX] * (one - bits[0])
+        consumer.constraint(np_f * (lv[cc.STACK_INV_AUX_2]
+                                    - is_top_read))
+        top = cc.MEM_CHANNELS[0]
+        pop_read = np_f * lv[cc.STACK_INV_AUX_2]
+        consumer.constraint_transition(pop_read * (nv[top.used] - one))
+        consumer.constraint_transition(pop_read
+                                       * (nv[top.is_read] - one))
+        consumer.constraint_transition(
+            pop_read * (nv[top.addr_context] - nv[cc.CONTEXT]))
+        consumer.constraint_transition(
+            pop_read * (nv[top.addr_segment] - STACK_SEGMENT))
+        consumer.constraint_transition(
+            pop_read * (nv[top.addr_virtual]
+                        - (nv[cc.STACK_LEN] - one)))
+        consumer.constraint(np_f * (lv[cc.STACK_INV_AUX_2] - one)
+                            * nv[top.used])
+        for ch in cc.MEM_CHANNELS[1:]:
+            consumer.constraint(np_f * (bits[0] - one) * lv[ch.used])
+        consumer.constraint(np_f * (bits[0] - one)
+                            * lv[cc.PARTIAL_CHANNEL.used])
+        consumer.constraint_transition(
+            np_f * (bits[0] - one)
+            * (nv[cc.STACK_LEN] - lv[cc.STACK_LEN] + one))
+        # stack overflow check (user mode only)
+        for flag in MIGHT_OVERFLOW:
+            diff = nv[cc.STACK_LEN] - (cc.MAX_USER_STACK_SIZE + 1)
+            consumer.constraint_transition(
+                lv[cc.OP[flag]]
+                * (diff * lv[cc.STACK_LEN_BOUNDS_AUX]
+                   - (one - nkernel)))
