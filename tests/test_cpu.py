@@ -105,6 +105,17 @@ def test_custom_program_constraints_and_negatives():
     t[cc.STACK_LEN, pop_row + 1] += 1
     with pytest.raises(AssertionError):
         check_constraints(s, t)
+    # lie about which slot a DUP reads
+    t, s = tampered()
+    dup_row = int(np.nonzero(t[cc.OP["dup_swap"]])[0][0])
+    t[cc.MEM_CHANNELS[2].addr_virtual, dup_row] += 1
+    with pytest.raises(AssertionError):
+        check_constraints(s, t)
+    # forge the dup'd value (must equal the next top)
+    t, s = tampered()
+    t[cc.MEM_CHANNELS[2].value[0], dup_row] += 1
+    with pytest.raises(AssertionError):
+        check_constraints(s, t)
     # broken clock
     t, s = tampered()
     t[cc.CLOCK, 5] = 99

@@ -211,6 +211,25 @@ def _fill_stack_witness(m, r, opcode, flag, stack):
     if L:
         _set_value(m, r, cc.MEM_CHANNELS[0], stack[-1])
     behavior = STACK_BEHAVIORS.get(flag)
+    if flag == "dup_swap":
+        n = opcode & 0xF
+        if (opcode >> 4) & 1 == 0:            # DUP_{n+1}
+            ch1, ch2 = cc.MEM_CHANNELS[1], cc.MEM_CHANNELS[2]
+            m[ch1.used, r] = 1
+            m[ch1.is_read, r] = 0
+            m[ch1.addr_segment, r] = STACK_SEGMENT
+            m[ch1.addr_virtual, r] = L - 1
+            _set_value(m, r, ch1, stack[-1])
+            _read_channel(m, r, ch2, L - 1 - n, stack[-1 - n])
+        else:                                  # SWAP_{n+1}
+            ch1, ch2 = cc.MEM_CHANNELS[1], cc.MEM_CHANNELS[2]
+            _read_channel(m, r, ch1, L - 2 - n, stack[-2 - n])
+            m[ch2.used, r] = 1
+            m[ch2.is_read, r] = 0
+            m[ch2.addr_segment, r] = STACK_SEGMENT
+            m[ch2.addr_virtual, r] = L - 2 - n
+            _set_value(m, r, ch2, stack[-1])
+        return
     if flag == "jumpdest_keccak_general":
         behavior = (0, False, True) if (opcode >> 1) & 1 \
             else (2, True, True)
@@ -549,6 +568,54 @@ class CpuStark(Stark):
         consumer.constraint_transition(
             np_f * (bits[0] - one)
             * (nv[cc.STACK_LEN] - lv[cc.STACK_LEN] + one))
+        # ---- dup_swap.rs ----
+        ds = lv[cc.OP["dup_swap"]]
+        n_ds = bits[0] + bits[1] * 2 + bits[2] * 4 + bits[3] * 8
+        ch0, ch1, ch2 = cc.MEM_CHANNELS
+
+        def _chan(filt, ch, is_read, offset):
+            consumer.constraint(filt * (lv[ch.used] - one))
+            consumer.constraint(filt * (lv[ch.is_read]
+                                        - (1 if is_read else 0)))
+            consumer.constraint(filt * (lv[ch.addr_context]
+                                        - lv[cc.CONTEXT]))
+            consumer.constraint(filt * (lv[ch.addr_segment]
+                                        - STACK_SEGMENT))
+            consumer.constraint(filt * (lv[ch.addr_virtual]
+                                        - (lv[cc.STACK_LEN] - one
+                                           - offset)))
+
+        def _equal(filt, ch_a_vals, ch_b_vals):
+            for a, b in zip(ch_a_vals, ch_b_vals):
+                consumer.constraint(filt * (a - b))
+
+        # DUP (bit 4 clear): write old top via ch1, read stack[n] via
+        # ch2 into the next top
+        dup_f = ds * (one - bits[4])
+        _equal(dup_f, [lv[ch1.value[j]] for j in range(8)],
+               [lv[ch0.value[j]] for j in range(8)])
+        _chan(dup_f, ch1, False, 0)
+        _equal(dup_f, [lv[ch2.value[j]] for j in range(8)],
+               [nv[ch0.value[j]] for j in range(8)])
+        _chan(dup_f, ch2, True, n_ds)
+        consumer.constraint_transition(
+            dup_f * (nv[cc.STACK_LEN] - lv[cc.STACK_LEN] - one))
+        consumer.constraint(dup_f * nv[ch0.used])
+        # SWAP (bit 4 set): old top written to stack[n+1] via ch2, new
+        # top read from stack[n+1] via ch1
+        swap_f = ds * bits[4]
+        n_p1 = n_ds + one
+        _equal(swap_f, [lv[ch0.value[j]] for j in range(8)],
+               [lv[ch2.value[j]] for j in range(8)])
+        _chan(swap_f, ch2, False, n_p1)
+        _equal(swap_f, [lv[ch1.value[j]] for j in range(8)],
+               [nv[ch0.value[j]] for j in range(8)])
+        _chan(swap_f, ch1, True, n_p1)
+        consumer.constraint(swap_f * (nv[cc.STACK_LEN]
+                                      - lv[cc.STACK_LEN]))
+        consumer.constraint(swap_f * nv[ch0.used])
+        consumer.constraint(ds * lv[cc.PARTIAL_CHANNEL.used])
+
         # stack overflow check (user mode only)
         for flag in MIGHT_OVERFLOW:
             diff = nv[cc.STACK_LEN] - (cc.MAX_USER_STACK_SIZE + 1)
