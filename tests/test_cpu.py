@@ -128,21 +128,42 @@ def test_custom_program_constraints_and_negatives():
         check_constraints(s, t)
 
 
+EXP_HARNESS = """
+GLOBAL exp_harness:
+    PUSH ret_exp
+    PUSH 3
+    PUSH 7
+    %jump(exp)
+GLOBAL ret_exp:
+    POP
+    PUSH 0xdeadbeef
+    JUMP
+"""
+
+
 def test_exp_kernel_run_constraints():
-    """The real kernel exp routine's recorded execution satisfies every
-    implemented CPU constraint (incl. its stack channel witness)."""
+    """A real kernel execution (harness calling the exp routine, 70
+    steps incl. 8 jumps and 18 DUP/SWAPs) satisfies every implemented
+    CPU constraint with its recorded channel witness."""
     from zk_evm_tpu.witness import assembler as asmblr
     from zk_evm_tpu.witness.interpreter import Interpreter
-    k = asmblr.combined_kernel()
-    interp = Interpreter(k, initial_offset=k.global_labels["exp"],
-                         initial_stack=[0xDEADBEEF, 3, 7])
+    k = asmblr.combined_kernel(extra_sources=[EXP_HARNESS])
+    interp = Interpreter(k,
+                         initial_offset=k.global_labels["exp_harness"])
     interp.run()
-    assert interp.stack() == [343]
+    assert interp.stack() == []
     trace, stark = cpu.cpu_rows_from_run(interp)
     check_constraints(stark, trace)
     # tampering with a recorded native pc is caught
     rows = np.nonzero(trace[cc.OP["dup_swap"]])[0]
     trace[cc.PROGRAM_COUNTER, int(rows[0])] += 1
+    with pytest.raises(AssertionError):
+        check_constraints(stark, trace)
+    # a JUMPI that jumps despite a zero condition is caught
+    trace, stark = cpu.cpu_rows_from_run(interp)
+    jrows = np.nonzero(trace[cc.OP["jumps"]])[0]
+    r = int(jrows[0])
+    trace[cc.JUMPS_SHOULD_JUMP, r] ^= 1
     with pytest.raises(AssertionError):
         check_constraints(stark, trace)
 
@@ -151,16 +172,18 @@ def test_user_mode_exit_kernel_and_syscall():
     """Hand-built user-mode segment: EXIT_KERNEL into user code, a
     syscall back; overflow aux + push write-backs filled by the
     builder."""
+    # EXIT_KERNEL's kexit_info=7 encodes (pc=7, user mode, gas 0)
     ops = [
         (0xf9, True, "exit_kernel", 0, (7,)),
-        (0x60, False, "push_prover_input", 5, ()),
-        (0x60, False, "push_prover_input", 7, (5,)),
-        (0x01, False, "binary_op", 9, (5, 3)),
-        (0x60, False, "push_prover_input", 10, (8,)),
-        (0x56, False, "jumps", 12, (8, 99)),
+        (0x60, False, "push_prover_input", 7, ()),
+        (0x60, False, "push_prover_input", 9, (5,)),
+        (0x01, False, "binary_op", 11, (5, 3)),
+        (0x50, False, "not_pop", 12, (8,)),
+        (0x60, False, "push_prover_input", 13, ()),
+        (0x56, False, "jumps", 15, (99,)),
     ]
-    trace = cpu.build_cpu_rows(ops, n_rows=16, halt_pc=77)
-    stark = cpu.CpuStark(start_pc=0, halt_pc=77)
+    trace = cpu.build_cpu_rows(ops, n_rows=16, halt_pc=99)
+    stark = cpu.CpuStark(start_pc=0, halt_pc=99)
     check_constraints(stark, trace)
     # kernel-only EXIT_KERNEL flagged in user mode is caught
     t = cpu.build_cpu_rows(ops, n_rows=16, halt_pc=77)

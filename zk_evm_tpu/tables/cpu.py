@@ -109,6 +109,7 @@ def host_gas(opcode: int, flag: str):
 # their own module — dup_swap, jumps, eq_iszero, context_op,
 # m_op_general — or the POP/NOT split below)
 STACK_SEGMENT = 1                 # Segment::Stack.unscale()
+JUMPDEST_BITS_SEGMENT = 14        # Segment::JumpdestBits.unscale()
 STACK_BEHAVIORS = {
     "binary_op": (2, True, True),
     "ternary_op": (3, True, True),
@@ -174,7 +175,9 @@ def build_cpu_rows(ops, n_rows=None, start_pc=0, halt_pc=0):
             cost = host_gas(opcode, flag)
             gas += cost if cost is not None else 0
         if stack is not None:
-            _fill_stack_witness(m, r, opcode, flag, stack)
+            _fill_stack_witness(m, r, opcode, flag, stack, kernel)
+            if flag == "exit_kernel" and stack:
+                gas = (stack[-1] >> 192) & 0xFFFFFFFF
         pc += 1
     m[cc.GAS, len(ops):] = gas
     _fill_overflow_aux(m, ops)
@@ -202,7 +205,7 @@ def _read_channel(m, r, ch, virt, value=None):
         _set_value(m, r, ch, value)
 
 
-def _fill_stack_witness(m, r, opcode, flag, stack):
+def _fill_stack_witness(m, r, opcode, flag, stack, kernel=True):
     """Memory-channel + stack-helper columns for one row, from the
     before-stack (the witness-generation side of stack.rs)."""
     from ..field import host
@@ -211,6 +214,32 @@ def _fill_stack_witness(m, r, opcode, flag, stack):
     if L:
         _set_value(m, r, cc.MEM_CHANNELS[0], stack[-1])
     behavior = STACK_BEHAVIORS.get(flag)
+    if flag == "jumps":
+        jumpi = opcode & 1
+        dst = stack[-1]
+        if jumpi:
+            cond_v = stack[-2]
+            _read_channel(m, r, cc.MEM_CHANNELS[1], L - 2, cond_v)
+        else:
+            cond_v = 1
+            m[cc.MEM_CHANNELS[1].value[0], r] = 1   # pinned, unused
+        should = 1 if cond_v != 0 else 0
+        m[cc.JUMPS_SHOULD_JUMP, r] = should
+        cond_sum = sum(_limbs(cond_v)) % host.P
+        m[cc.JUMPS_COND_SUM_PINV, r] = \
+            host.finv(cond_sum) if cond_sum else 0
+        ch2 = cc.MEM_CHANNELS[2]                     # JUMPDEST bit
+        m[ch2.value[0], r] = 1
+        m[ch2.is_read, r] = 1
+        m[ch2.addr_segment, r] = JUMPDEST_BITS_SEGMENT
+        m[ch2.addr_virtual, r] = dst & 0xFFFFFFFF
+        m[ch2.used, r] = should * (1 - int(kernel))
+        rem = L - 1 - jumpi
+        m[cc.STACK_INV, r] = host.finv(rem % host.P) if rem else 0
+        m[cc.STACK_INV_AUX, r] = 1 if rem else 0
+        if rem:
+            _read_channel(m, r + 1, cc.MEM_CHANNELS[0], rem - 1)
+        return
     if flag == "dup_swap":
         n = opcode & 0xF
         if (opcode >> 4) & 1 == 0:            # DUP_{n+1}
@@ -615,6 +644,73 @@ class CpuStark(Stark):
                                       - lv[cc.STACK_LEN]))
         consumer.constraint(swap_f * nv[ch0.used])
         consumer.constraint(ds * lv[cc.PARTIAL_CHANNEL.used])
+
+        # ---- jumps.rs ----
+        jf = lv[cc.OP["jumps"]]
+        is_jump = jf * (one - bits[0])
+        is_jumpi = jf * bits[0]
+        dst = [lv[ch0.value[j]] for j in range(8)]
+        cond = [lv[ch1.value[j]] for j in range(8)]
+        should = lv[cc.JUMPS_SHOULD_JUMP]
+        pinv = lv[cc.JUMPS_COND_SUM_PINV]
+        # extra read of the new top when the stack isn't emptied
+        len_diff = lv[cc.STACK_LEN] - one - bits[0]
+        nf = len_diff * jf
+        consumer.constraint_transition(nf * (nv[ch0.used] - one))
+        consumer.constraint_transition(nf * (nv[ch0.is_read] - one))
+        consumer.constraint_transition(nf * (nv[ch0.addr_context]
+                                             - nv[cc.CONTEXT]))
+        consumer.constraint_transition(nf * (nv[ch0.addr_segment]
+                                             - STACK_SEGMENT))
+        consumer.constraint_transition(
+            nf * (nv[ch0.addr_virtual] - (nv[cc.STACK_LEN] - one)))
+        consumer.constraint(jf * (len_diff * lv[cc.STACK_INV]
+                                  - lv[cc.STACK_INV_AUX]))
+        consumer.constraint_transition(jf * (lv[cc.STACK_INV_AUX] - one)
+                                       * nv[ch0.used])
+        # JUMP is JUMPI with the condition pinned to 1
+        consumer.constraint(is_jump * (cond[0] - one))
+        for limb in cond[1:]:
+            consumer.constraint(is_jump * limb)
+        # should_jump is boolean and mirrors the condition's nullity
+        consumer.constraint(jf * should * (should - one))
+        cond_sum = cond[0]
+        for limb in cond[1:]:
+            cond_sum = cond_sum + limb
+        consumer.constraint(jf * (should - one) * cond_sum)
+        consumer.constraint(jf * (pinv * cond_sum - should))
+        dst_hi = dst[1]
+        for limb in dst[2:]:
+            dst_hi = dst_hi + limb
+        consumer.constraint(jf * should * dst_hi)
+        # the destination must hold a JUMPDEST bit (read via the last
+        # channel; only actually read for user-mode taken jumps)
+        consumer.constraint(jf * (lv[ch2.value[0]] - one))
+        consumer.constraint(jf * (lv[ch2.used]
+                                  - should * (one - kernel)))
+        consumer.constraint(jf * (lv[ch2.is_read] - one))
+        consumer.constraint(jf * (lv[ch2.addr_context] - lv[cc.CONTEXT]))
+        consumer.constraint(jf * (lv[ch2.addr_segment]
+                                  - JUMPDEST_BITS_SEGMENT))
+        consumer.constraint(jf * (lv[ch2.addr_virtual] - dst[0]))
+        consumer.constraint(jf * lv[cc.PARTIAL_CHANNEL.used])
+        consumer.constraint(is_jump * lv[ch1.used])
+        consumer.constraint_transition(
+            is_jump * (nv[cc.STACK_LEN] - lv[cc.STACK_LEN] + one))
+        consumer.constraint_transition(
+            is_jumpi * (nv[cc.STACK_LEN] - lv[cc.STACK_LEN] + 2))
+        consumer.constraint_transition(
+            jf * (should - one) * (npc - (pc + one)))
+        consumer.constraint_transition(jf * should * (npc - dst[0]))
+
+        # ---- EXIT_KERNEL restore (jumps.rs:1-19) ----
+        ek = lv[cc.OP["exit_kernel"]]
+        consumer.constraint_transition(ek * (lv[ch0.value[0]] - npc))
+        consumer.constraint_transition(ek * (lv[ch0.value[1]]
+                                             - nkernel))
+        consumer.constraint_transition(ek * (lv[ch0.value[6]]
+                                             - nv[cc.GAS]))
+        consumer.constraint(ek * lv[ch0.value[7]])
 
         # stack overflow check (user mode only)
         for flag in MIGHT_OVERFLOW:

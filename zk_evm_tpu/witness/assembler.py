@@ -361,9 +361,12 @@ def assemble(files, constants, opcodes, optimize=False) -> Kernel:
 
 
 def combined_kernel(asm_dir: str | None = None,
-                    active_features=("eth_mainnet",)) -> Kernel:
+                    active_features=("eth_mainnet",),
+                    extra_sources=()) -> Kernel:
     """Assemble the full 159-file kernel. The .asm sources are data,
-    loaded from the reference checkout (ZK_EVM_REFERENCE) by default."""
+    loaded from the reference checkout (ZK_EVM_REFERENCE) by default.
+    `extra_sources` appends additional .asm source strings (e.g. test
+    harness routines that call kernel globals)."""
     constants, opcodes, kernel_files = load_tables()
     if asm_dir is None:
         ref = os.environ.get("ZK_EVM_REFERENCE", "/root/reference")
@@ -372,5 +375,7 @@ def combined_kernel(asm_dir: str | None = None,
     for rel in kernel_files:
         with open(os.path.join(asm_dir, rel)) as f:
             src = f.read()
+        files.append(ap.parse(src, active_features))
+    for src in extra_sources:
         files.append(ap.parse(src, active_features))
     return assemble(files, constants, opcodes)
