@@ -192,6 +192,72 @@ def test_user_mode_exit_kernel_and_syscall():
         check_constraints(stark, t)
 
 
+EQ_SRC = """
+GLOBAL eq_test:
+    PUSH 5
+    PUSH 5
+    EQ
+    ISZERO
+    POP
+    PUSH 9
+    PUSH 5
+    EQ
+    POP
+    PUSH 0
+    ISZERO
+    POP
+    PUSH 0xdeadbeef
+    JUMP
+"""
+
+
+def test_eq_iszero():
+    from zk_evm_tpu.witness import asm_parser as ap, assembler as asmblr
+    from zk_evm_tpu.witness.interpreter import Interpreter
+    consts, opcodes, _ = asmblr.load_tables()
+    k = asmblr.assemble([ap.parse(EQ_SRC)], consts, opcodes)
+    interp = Interpreter(k, initial_offset=k.global_labels["eq_test"])
+    interp.run()
+    assert interp.stack() == []
+    trace, stark = cpu.cpu_rows_from_run(interp)
+    check_constraints(stark, trace)
+    # forged EQ result (flipping the pushed bit) is caught
+    rows = np.nonzero(trace[cc.OP["eq_iszero"]])[0]
+    trace[cc.MEM_CHANNELS[0].value[0], int(rows[0]) + 1] ^= 1
+    with pytest.raises(AssertionError):
+        check_constraints(stark, trace)
+
+
+def test_shift():
+    from zk_evm_tpu.witness import asm_parser as ap, assembler as asmblr
+    from zk_evm_tpu.witness.interpreter import Interpreter
+    consts, opcodes, _ = asmblr.load_tables()
+    src = """
+GLOBAL shift_test:
+    PUSH 3
+    PUSH 4
+    SHL
+    POP
+    PUSH 100
+    PUSH 300
+    SHR
+    POP
+    PUSH 0xdeadbeef
+    JUMP
+"""
+    k = asmblr.assemble([ap.parse(src)], consts, opcodes)
+    interp = Interpreter(k, initial_offset=k.global_labels["shift_test"])
+    interp.run()
+    assert interp.stack() == []
+    trace, stark = cpu.cpu_rows_from_run(interp)
+    check_constraints(stark, trace)
+    # claiming a small displacement without the table read is caught
+    rows = np.nonzero(trace[cc.OP["shift"]])[0]
+    trace[cc.MEM_CHANNELS[2].used, int(rows[0])] = 0
+    with pytest.raises(AssertionError):
+        check_constraints(stark, trace)
+
+
 def test_cpu_proof_roundtrip():
     interp = _run_custom()
     trace, stark = cpu.cpu_rows_from_run(interp)

@@ -109,6 +109,7 @@ def host_gas(opcode: int, flag: str):
 # their own module — dup_swap, jumps, eq_iszero, context_op,
 # m_op_general — or the POP/NOT split below)
 STACK_SEGMENT = 1                 # Segment::Stack.unscale()
+SHIFT_TABLE_SEGMENT = 13          # Segment::ShiftTable.unscale()
 JUMPDEST_BITS_SEGMENT = 14        # Segment::JumpdestBits.unscale()
 STACK_BEHAVIORS = {
     "binary_op": (2, True, True),
@@ -262,6 +263,31 @@ def _fill_stack_witness(m, r, opcode, flag, stack, kernel=True):
     if flag == "jumpdest_keccak_general":
         behavior = (0, False, True) if (opcode >> 1) & 1 \
             else (2, True, True)
+    if flag == "shift":
+        d = stack[-1]
+        dl = _limbs(d)
+        hs = sum(dl[1:]) % host.P
+        m[cc.SHIFT_HIGH_LIMB_SUM_INV, r] = host.finv(hs) if hs else 0
+        ch2 = cc.MEM_CHANNELS[2]
+        m[ch2.addr_segment, r] = SHIFT_TABLE_SEGMENT
+        m[ch2.addr_virtual, r] = dl[0]
+        if hs == 0:
+            m[ch2.used, r] = 1
+            m[ch2.is_read, r] = 1
+            if d < 256:
+                _set_value(m, r, ch2, 1 << d)
+    if flag == "eq_iszero":
+        iszero = opcode & 1
+        behavior = (1, True, True) if iszero else (2, True, True)
+        in0 = stack[-1]
+        in1 = 0 if iszero else stack[-2]
+        l0, l1 = _limbs(in0), _limbs(in1)
+        n_neq = sum(1 for a, b in zip(l0, l1) if a != b)
+        n_inv = host.finv(n_neq) if n_neq else 0
+        for j, (a, b) in enumerate(zip(l0, l1)):
+            d = (a - b) % host.P
+            m[cc.LOGIC_DIFF_PINV[j], r] = \
+                host.fmul(host.finv(d), n_inv) if d else 0
     if flag == "not_pop":
         behavior = (1, True, True) if opcode & 1 else None
         inv = host.finv((L - 1) % host.P) if L != 1 else 0
@@ -711,6 +737,46 @@ class CpuStark(Stark):
         consumer.constraint_transition(ek * (lv[ch0.value[6]]
                                              - nv[cc.GAS]))
         consumer.constraint(ek * lv[ch0.value[7]])
+
+        # ---- simple_logic/eq_iszero.rs ----
+        ei = lv[cc.OP["eq_iszero"]]
+        eq_f = ei * (one - bits[0])
+        isz_f = ei * bits[0]
+        in0 = [lv[ch0.value[j]] for j in range(8)]
+        in1 = [lv[ch1.value[j]] for j in range(8)]
+        out = [nv[ch0.value[j]] for j in range(8)]
+        equal = out[0]
+        unequal = one - equal
+        consumer.constraint(ei * equal * unequal)
+        for limb in out[1:]:
+            consumer.constraint(ei * limb)
+        for limb in in1:                      # ISZERO(x) == EQ(x, 0)
+            consumer.constraint(isz_f * limb)
+        for a, b in zip(in0, in1):
+            consumer.constraint(ei * equal * (a - b))
+        dot = None
+        for j, (a, b) in enumerate(zip(in0, in1)):
+            t = (a - b) * lv[cc.LOGIC_DIFF_PINV[j]]
+            dot = t if dot is None else dot + t
+        consumer.constraint(ei * (dot - unequal))
+        _eval_stack_one(lv, nv, eq_f, (2, True, True), consumer)
+        _eval_stack_one(lv, nv, isz_f, (1, True, True), consumer)
+
+        # ---- shift.rs ----
+        sh = lv[cc.OP["shift"]]
+        disp = [lv[ch0.value[j]] for j in range(8)]
+        hz = lv[ch2.used]          # 1 iff the displacement fits 32 bits
+        consumer.constraint(sh * hz * (lv[ch2.is_read] - one))
+        hsum = disp[1]
+        for limb in disp[2:]:
+            hsum = hsum + limb
+        hinv = lv[cc.SHIFT_HIGH_LIMB_SUM_INV]
+        consumer.constraint(sh * (hsum * hinv - (one - hz)))
+        consumer.constraint(sh * hsum * hz)
+        consumer.constraint(sh * lv[ch2.addr_context])
+        consumer.constraint(sh * (lv[ch2.addr_segment]
+                                  - SHIFT_TABLE_SEGMENT))
+        consumer.constraint(sh * (lv[ch2.addr_virtual] - disp[0]))
 
         # stack overflow check (user mode only)
         for flag in MIGHT_OVERFLOW:
