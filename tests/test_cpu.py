@@ -258,6 +258,47 @@ GLOBAL shift_test:
         check_constraints(stark, trace)
 
 
+def test_memio():
+    from zk_evm_tpu.witness import asm_parser as ap, assembler as asmblr
+    from zk_evm_tpu.witness.interpreter import Interpreter
+    consts, opcodes, _ = asmblr.load_tables()
+    src = """
+GLOBAL mem_test:
+    PUSH 0x70000000005
+    PUSH 42
+    MSTORE_GENERAL
+    PUSH 0x70000000005
+    MLOAD_GENERAL
+    POP
+    PUSH 0xdeadbeef
+    JUMP
+"""
+    k = asmblr.assemble([ap.parse(src)], consts, opcodes)
+    interp = Interpreter(k, initial_offset=k.global_labels["mem_test"])
+    interp.run()
+    assert interp.stack() == []
+    trace, stark = cpu.cpu_rows_from_run(interp)
+    check_constraints(stark, trace)
+    rows = np.nonzero(trace[cc.OP["m_op_general"]])[0]
+    mload = [r for r in rows if trace[cc.OPCODE_BITS[0], r] == 1][0]
+    mstore = [r for r in rows if trace[cc.OPCODE_BITS[0], r] == 0][0]
+    # forged loaded value is caught
+    t, s = cpu.cpu_rows_from_run(interp)
+    t[cc.MEM_CHANNELS[1].value[0], int(mload)] ^= 1
+    with pytest.raises(AssertionError):
+        check_constraints(s, t)
+    # a store that skips its partial-channel write is caught
+    t, s = cpu.cpu_rows_from_run(interp)
+    t[cc.PARTIAL_CHANNEL.used, int(mstore)] = 0
+    with pytest.raises(AssertionError):
+        check_constraints(s, t)
+    # lying about the store address is caught
+    t, s = cpu.cpu_rows_from_run(interp)
+    t[cc.PARTIAL_CHANNEL.addr_virtual, int(mstore)] += 1
+    with pytest.raises(AssertionError):
+        check_constraints(s, t)
+
+
 def test_cpu_proof_roundtrip():
     interp = _run_custom()
     trace, stark = cpu.cpu_rows_from_run(interp)

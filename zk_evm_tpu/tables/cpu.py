@@ -182,6 +182,13 @@ def build_cpu_rows(ops, n_rows=None, start_pc=0, halt_pc=0):
         pc += 1
     m[cc.GAS, len(ops):] = gas
     _fill_overflow_aux(m, ops)
+    # second pass: MLOAD_GENERAL's loaded value is the next row's top
+    for r, op in enumerate(ops):
+        if (op[0] == 0xFB and len(op) > 4 and op[4] is not None
+                and r + 1 < n_rows):
+            for j in range(8):
+                m[cc.MEM_CHANNELS[1].value[j], r] = \
+                    m[cc.MEM_CHANNELS[0].value[j], r + 1]
     return m
 
 
@@ -263,6 +270,35 @@ def _fill_stack_witness(m, r, opcode, flag, stack, kernel=True):
     if flag == "jumpdest_keccak_general":
         behavior = (0, False, True) if (opcode >> 1) & 1 \
             else (2, True, True)
+    if flag == "m_op_general":
+        mload = opcode & 1
+        rem = (L - 2) % host.P
+        m[cc.STACK_INV, r] = host.finv(rem) if rem else 0
+        m[cc.STACK_INV_AUX, r] = 1 if rem else 0
+        if mload:
+            # address sits in the top; the loaded value (next top) is
+            # copied into channel 1 by the second builder pass
+            ch1 = cc.MEM_CHANNELS[1]
+            al = _limbs(stack[-1])
+            m[ch1.used, r] = 1
+            m[ch1.is_read, r] = 1
+            m[ch1.addr_context, r] = al[2]
+            m[ch1.addr_segment, r] = al[1]
+            m[ch1.addr_virtual, r] = al[0]
+        else:
+            m[cc.STACK_INV_AUX_2, r] = m[cc.STACK_INV_AUX, r]
+            addr_word = stack[-2]
+            _read_channel(m, r, cc.MEM_CHANNELS[1], L - 2, addr_word)
+            al = _limbs(addr_word)
+            pch = cc.PARTIAL_CHANNEL
+            m[pch.used, r] = 1
+            m[pch.is_read, r] = 0
+            m[pch.addr_context, r] = al[2]
+            m[pch.addr_segment, r] = al[1]
+            m[pch.addr_virtual, r] = al[0]
+            if L > 2:
+                _read_channel(m, r + 1, cc.MEM_CHANNELS[0], L - 3)
+        return
     if flag == "shift":
         d = stack[-1]
         dl = _limbs(d)
@@ -777,6 +813,63 @@ class CpuStark(Stark):
         consumer.constraint(sh * (lv[ch2.addr_segment]
                                   - SHIFT_TABLE_SEGMENT))
         consumer.constraint(sh * (lv[ch2.addr_virtual] - disp[0]))
+
+        # ---- memio.rs ----
+        mg = lv[cc.OP["m_op_general"]]
+        load_f = mg * bits[0]                 # MLOAD_GENERAL (0xfb)
+        store_f = mg * (bits[0] - one)        # MSTORE_GENERAL (0xfc)
+        # address is packed (virt, seg, ctx) in the holding channel's
+        # low three limbs (cpu_stark.rs get_addr:318-323)
+        la = (lv[ch0.value[2]], lv[ch0.value[1]], lv[ch0.value[0]])
+        sa = (lv[ch1.value[2]], lv[ch1.value[1]], lv[ch1.value[0]])
+        # load: channel 1 reads the addressed cell into the next top
+        consumer.constraint(load_f * (lv[ch1.used] - one))
+        consumer.constraint(load_f * (lv[ch1.is_read] - one))
+        consumer.constraint(load_f * (lv[ch1.addr_context] - la[0]))
+        consumer.constraint(load_f * (lv[ch1.addr_segment] - la[1]))
+        consumer.constraint(load_f * (lv[ch1.addr_virtual] - la[2]))
+        for j in range(8):
+            consumer.constraint(load_f * (lv[ch1.value[j]]
+                                          - nv[ch0.value[j]]))
+        consumer.constraint(load_f * lv[ch2.used])
+        consumer.constraint(load_f * lv[cc.PARTIAL_CHANNEL.used])
+        _eval_stack_one(lv, nv, load_f, (1, True, False), consumer)
+        # store: the write goes through the partial channel (the value
+        # is the cached top; checked by the memory CTL)
+        pch = cc.PARTIAL_CHANNEL
+        consumer.constraint(store_f * (lv[pch.used] - one))
+        consumer.constraint(store_f * lv[pch.is_read])
+        consumer.constraint(store_f * (lv[pch.addr_context] - sa[0]))
+        consumer.constraint(store_f * (lv[pch.addr_segment] - sa[1]))
+        consumer.constraint(store_f * (lv[pch.addr_virtual] - sa[2]))
+        consumer.constraint(store_f * lv[ch2.used])
+        consumer.constraint(store_f * (lv[ch1.used] - one))
+        consumer.constraint(store_f * (lv[ch1.is_read] - one))
+        consumer.constraint(store_f * (lv[ch1.addr_context]
+                                       - lv[cc.CONTEXT]))
+        consumer.constraint(store_f * (lv[ch1.addr_segment]
+                                       - STACK_SEGMENT))
+        consumer.constraint(store_f * (lv[ch1.addr_virtual]
+                                       - (lv[cc.STACK_LEN] - 2)))
+        mg_len_diff = lv[cc.STACK_LEN] - 2
+        consumer.constraint(mg * (mg_len_diff * lv[cc.STACK_INV]
+                                  - lv[cc.STACK_INV_AUX]))
+        mg_top_read = lv[cc.STACK_INV_AUX] * (one - bits[0])
+        consumer.constraint(mg * (lv[cc.STACK_INV_AUX_2] - mg_top_read))
+        mg_nf = mg * lv[cc.STACK_INV_AUX_2]
+        consumer.constraint_transition(mg_nf * (nv[ch0.used] - one))
+        consumer.constraint_transition(mg_nf * (nv[ch0.is_read] - one))
+        consumer.constraint_transition(mg_nf * (nv[ch0.addr_context]
+                                                - nv[cc.CONTEXT]))
+        consumer.constraint_transition(mg_nf * (nv[ch0.addr_segment]
+                                                - STACK_SEGMENT))
+        consumer.constraint_transition(
+            mg_nf * (nv[ch0.addr_virtual] - (nv[cc.STACK_LEN] - one)))
+        consumer.constraint(mg * (lv[cc.STACK_INV_AUX] - one)
+                            * nv[ch0.used])
+        consumer.constraint(mg * bits[0] * nv[ch0.used])
+        # (MSTORE's stack-length change is bound via the memory CTL,
+        # not here — mirroring memio.rs)
 
         # stack overflow check (user mode only)
         for flag in MIGHT_OVERFLOW:
