@@ -299,6 +299,51 @@ GLOBAL mem_test:
         check_constraints(s, t)
 
 
+def test_contextops():
+    """GET/SET_CONTEXT across a real context switch: the old top is
+    written back on GET, the new context's top is read back on SET."""
+    from zk_evm_tpu.witness import asm_parser as ap, assembler as asmblr
+    from zk_evm_tpu.witness.interpreter import Interpreter
+    consts, opcodes, _ = asmblr.load_tables()
+    src = """
+GLOBAL ctx_test:
+    PUSH 42
+    GET_CONTEXT
+    POP
+    PUSH 0x10000000000000000
+    SET_CONTEXT
+    PUSH 0
+    SET_CONTEXT
+    POP
+    PUSH 0xdeadbeef
+    JUMP
+"""
+    k = asmblr.assemble([ap.parse(src)], consts, opcodes)
+    interp = Interpreter(k, initial_offset=k.global_labels["ctx_test"])
+    interp.run()
+    assert interp.stack() == []
+    assert {t[3] for t in interp.trace} == {0, 1}
+    trace, stark = cpu.cpu_rows_from_run(interp)
+    check_constraints(stark, trace)
+    rows = np.nonzero(trace[cc.OP["context_op"]])[0]
+    set_rows = [r for r in rows if trace[cc.OPCODE_BITS[0], r] == 1]
+    # lying about the restored context is caught
+    t, s = cpu.cpu_rows_from_run(interp)
+    t[cc.CONTEXT, int(set_rows[0]) + 1] += 1
+    with pytest.raises(AssertionError):
+        check_constraints(s, t)
+    # skipping the cross-context new-top read is caught
+    t, s = cpu.cpu_rows_from_run(interp)
+    t[cc.MEM_CHANNELS[2].used, int(set_rows[1])] = 0
+    with pytest.raises(AssertionError):
+        check_constraints(s, t)
+    # a non-context op may not change the context
+    t, s = cpu.cpu_rows_from_run(interp)
+    t[cc.CONTEXT, 1] += 1
+    with pytest.raises(AssertionError):
+        check_constraints(s, t)
+
+
 def test_cpu_proof_roundtrip():
     interp = _run_custom()
     trace, stark = cpu.cpu_rows_from_run(interp)

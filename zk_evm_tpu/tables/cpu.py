@@ -164,7 +164,10 @@ def build_cpu_rows(ops, n_rows=None, start_pc=0, halt_pc=0):
         if len(op) > 3:
             pc = op[3]
         stack = op[4] if len(op) > 4 else None
+        ctx = op[5] if len(op) > 5 else 0
         m[cc.IS_KERNEL_MODE, r] = int(kernel)
+        m[cc.CONTEXT, r] = ctx
+        m[cc.CODE_CONTEXT, r] = 0 if kernel else ctx
         m[cc.PROGRAM_COUNTER, r] = pc
         m[cc.GAS, r] = gas
         for b in range(8):
@@ -176,19 +179,50 @@ def build_cpu_rows(ops, n_rows=None, start_pc=0, halt_pc=0):
             cost = host_gas(opcode, flag)
             gas += cost if cost is not None else 0
         if stack is not None:
-            _fill_stack_witness(m, r, opcode, flag, stack, kernel)
+            _fill_stack_witness(m, r, opcode, flag, stack, kernel, ctx)
             if flag == "exit_kernel" and stack:
                 gas = (stack[-1] >> 192) & 0xFFFFFFFF
         pc += 1
     m[cc.GAS, len(ops):] = gas
     _fill_overflow_aux(m, ops)
-    # second pass: MLOAD_GENERAL's loaded value is the next row's top
+    # second pass: MLOAD_GENERAL's loaded value is the next row's top;
+    # context_op channel-2 witness needs the next row's stack/context;
+    # next-top reads (set by their predecessor) live in the reader's
+    # own context
+    ch0 = cc.MEM_CHANNELS[0]
+    for r in range(n_rows):
+        if m[ch0.used, r]:
+            m[ch0.addr_context, r] = m[cc.CONTEXT, r]
     for r, op in enumerate(ops):
-        if (op[0] == 0xFB and len(op) > 4 and op[4] is not None
-                and r + 1 < n_rows):
+        if len(op) <= 4 or op[4] is None or r + 1 >= n_rows:
+            continue
+        opcode, stack = op[0], op[4]
+        if opcode == 0xFB:
             for j in range(8):
                 m[cc.MEM_CHANNELS[1].value[j], r] = \
-                    m[cc.MEM_CHANNELS[0].value[j], r + 1]
+                    m[ch0.value[j], r + 1]
+        elif opcode in (0xF6, 0xF7):          # GET/SET_CONTEXT
+            from ..field import host
+            is_set = opcode & 1
+            nlen = int(m[cc.STACK_LEN, r + 1])
+            q = nlen - (0 if is_set else 1)   # relevant stack length
+            m[cc.STACK_INV, r] = host.finv(q) if q else 0
+            m[cc.STACK_INV_AUX, r] = 1 if q else 0
+            if is_set:
+                m[cc.STACK_INV_AUX_2, r] = m[cc.STACK_INV_AUX, r]
+                m[cc.CTX_PRUNING_FLAG, r] = _limbs(stack[-1])[0] & 1
+            if q:
+                ch2 = cc.MEM_CHANNELS[2]
+                m[ch2.used, r] = 1
+                m[ch2.is_read, r] = is_set
+                m[ch2.addr_context, r] = m[cc.CONTEXT, r + 1]
+                m[ch2.addr_segment, r] = STACK_SEGMENT
+                m[ch2.addr_virtual, r] = q - 1
+                if is_set:                    # read the new context top
+                    for j in range(8):
+                        m[ch2.value[j], r] = m[ch0.value[j], r + 1]
+                else:                         # write back the old top
+                    _set_value(m, r, ch2, stack[-1])
     return m
 
 
@@ -201,19 +235,19 @@ def _set_value(m, r, ch, v):
         m[ch.value[j], r] = limb
 
 
-def _read_channel(m, r, ch, virt, value=None):
+def _read_channel(m, r, ch, virt, value=None, ctx=0):
     if r >= m.shape[1]:
         return
     m[ch.used, r] = 1
     m[ch.is_read, r] = 1
-    m[ch.addr_context, r] = 0
+    m[ch.addr_context, r] = ctx
     m[ch.addr_segment, r] = STACK_SEGMENT
     m[ch.addr_virtual, r] = virt
     if value is not None:
         _set_value(m, r, ch, value)
 
 
-def _fill_stack_witness(m, r, opcode, flag, stack, kernel=True):
+def _fill_stack_witness(m, r, opcode, flag, stack, kernel=True, ctx=0):
     """Memory-channel + stack-helper columns for one row, from the
     before-stack (the witness-generation side of stack.rs)."""
     from ..field import host
@@ -227,7 +261,8 @@ def _fill_stack_witness(m, r, opcode, flag, stack, kernel=True):
         dst = stack[-1]
         if jumpi:
             cond_v = stack[-2]
-            _read_channel(m, r, cc.MEM_CHANNELS[1], L - 2, cond_v)
+            _read_channel(m, r, cc.MEM_CHANNELS[1], L - 2, cond_v,
+                          ctx=ctx)
         else:
             cond_v = 1
             m[cc.MEM_CHANNELS[1].value[0], r] = 1   # pinned, unused
@@ -239,6 +274,7 @@ def _fill_stack_witness(m, r, opcode, flag, stack, kernel=True):
         ch2 = cc.MEM_CHANNELS[2]                     # JUMPDEST bit
         m[ch2.value[0], r] = 1
         m[ch2.is_read, r] = 1
+        m[ch2.addr_context, r] = ctx
         m[ch2.addr_segment, r] = JUMPDEST_BITS_SEGMENT
         m[ch2.addr_virtual, r] = dst & 0xFFFFFFFF
         m[ch2.used, r] = should * (1 - int(kernel))
@@ -254,15 +290,17 @@ def _fill_stack_witness(m, r, opcode, flag, stack, kernel=True):
             ch1, ch2 = cc.MEM_CHANNELS[1], cc.MEM_CHANNELS[2]
             m[ch1.used, r] = 1
             m[ch1.is_read, r] = 0
+            m[ch1.addr_context, r] = ctx
             m[ch1.addr_segment, r] = STACK_SEGMENT
             m[ch1.addr_virtual, r] = L - 1
             _set_value(m, r, ch1, stack[-1])
-            _read_channel(m, r, ch2, L - 1 - n, stack[-1 - n])
+            _read_channel(m, r, ch2, L - 1 - n, stack[-1 - n], ctx=ctx)
         else:                                  # SWAP_{n+1}
             ch1, ch2 = cc.MEM_CHANNELS[1], cc.MEM_CHANNELS[2]
-            _read_channel(m, r, ch1, L - 2 - n, stack[-2 - n])
+            _read_channel(m, r, ch1, L - 2 - n, stack[-2 - n], ctx=ctx)
             m[ch2.used, r] = 1
             m[ch2.is_read, r] = 0
+            m[ch2.addr_context, r] = ctx
             m[ch2.addr_segment, r] = STACK_SEGMENT
             m[ch2.addr_virtual, r] = L - 2 - n
             _set_value(m, r, ch2, stack[-1])
@@ -288,7 +326,8 @@ def _fill_stack_witness(m, r, opcode, flag, stack, kernel=True):
         else:
             m[cc.STACK_INV_AUX_2, r] = m[cc.STACK_INV_AUX, r]
             addr_word = stack[-2]
-            _read_channel(m, r, cc.MEM_CHANNELS[1], L - 2, addr_word)
+            _read_channel(m, r, cc.MEM_CHANNELS[1], L - 2, addr_word,
+                          ctx=ctx)
             al = _limbs(addr_word)
             pch = cc.PARTIAL_CHANNEL
             m[pch.used, r] = 1
@@ -338,7 +377,7 @@ def _fill_stack_witness(m, r, opcode, flag, stack, kernel=True):
     num_pops, pushes, _ = behavior
     for i in range(1, num_pops):
         _read_channel(m, r, cc.MEM_CHANNELS[i], L - 1 - i,
-                      stack[-1 - i])
+                      stack[-1 - i], ctx=ctx)
     if num_pops > 0 and not pushes:
         inv = host.finv((L - num_pops) % host.P) if L != num_pops else 0
         m[cc.STACK_INV, r] = inv
@@ -354,7 +393,7 @@ def _fill_stack_witness(m, r, opcode, flag, stack, kernel=True):
             pch = cc.PARTIAL_CHANNEL
             m[pch.used, r] = 1
             m[pch.is_read, r] = 0
-            m[pch.addr_context, r] = 0
+            m[pch.addr_context, r] = ctx
             m[pch.addr_segment, r] = STACK_SEGMENT
             m[pch.addr_virtual, r] = L - 1
 
@@ -440,13 +479,13 @@ def cpu_rows_from_run(interp, n_rows=None):
     recorded (pc, opcode, kernel) steps; the halt pc is wherever
     execution stopped.  Returns (trace, CpuStark)."""
     ops = []
-    for pc, opcode, kernel, stack in interp.trace:
+    for pc, opcode, kernel, ctx, stack in interp.trace:
         flag = flag_for(opcode, kernel)
         if flag is None:
             raise ValueError(
                 f"executed opcode {opcode:#x} (kernel={kernel}) has no "
                 f"decode flag at pc {pc}")
-        ops.append((opcode, kernel, flag, pc, stack))
+        ops.append((opcode, kernel, flag, pc, stack, ctx))
     halt_pc = interp.registers.program_counter
     trace = build_cpu_rows(ops, n_rows=n_rows, halt_pc=halt_pc)
     first_pc = interp.trace[0][0] if interp.trace else 0
@@ -870,6 +909,57 @@ class CpuStark(Stark):
         consumer.constraint(mg * bits[0] * nv[ch0.used])
         # (MSTORE's stack-length change is bound via the memory CTL,
         # not here — mirroring memio.rs)
+
+        # ---- contextops.rs ----
+        co = lv[cc.OP["context_op"]]
+        keep_flags = [f for f in cc.OP if f != "context_op"]
+        for f in keep_flags:
+            consumer.constraint_transition(lv[cc.OP[f]]
+                                           * (nv[cc.CONTEXT]
+                                              - lv[cc.CONTEXT]))
+        get_f = co * (one - bits[0])
+        set_f = co * bits[0]
+        consumer.constraint_transition(get_f * (nv[cc.CONTEXT]
+                                                - lv[cc.CONTEXT]))
+        # GET_CONTEXT pushes ctx<<64 (limb 2), everything else zero
+        for j in range(8):
+            t = nv[ch0.value[j]] - lv[cc.CONTEXT] if j == 2 \
+                else nv[ch0.value[j]]
+            consumer.constraint(get_f * t)
+        consumer.constraint(get_f * lv[cc.CTX_PRUNING_FLAG])
+        consumer.constraint(get_f * (nv[cc.STACK_LEN]
+                                     - (lv[cc.STACK_LEN] + one)))
+        consumer.constraint(get_f * lv[ch1.used])
+        consumer.constraint(get_f * nv[ch0.used])
+        # SET_CONTEXT: the new context comes from the top's limb 2; the
+        # prune flag from limb 0; other limbs zero
+        consumer.constraint(set_f * (lv[ch0.value[2]] - nv[cc.CONTEXT]))
+        for j in (1, 3, 4, 5, 6, 7):
+            consumer.constraint(set_f * lv[ch0.value[j]])
+        pf = lv[cc.CTX_PRUNING_FLAG]
+        consumer.constraint(co * pf * (pf - one))
+        consumer.constraint(set_f * (pf - lv[ch0.value[0]]))
+        consumer.constraint(co * (lv[cc.STACK_INV_AUX] * bits[0]
+                                  - lv[cc.STACK_INV_AUX_2]))
+        for j in range(8):
+            consumer.constraint(co * lv[cc.STACK_INV_AUX_2]
+                                * (nv[ch0.value[j]] - lv[ch2.value[j]]))
+        consumer.constraint(set_f * lv[ch1.used])
+        consumer.constraint(set_f * nv[ch0.used])
+        # shared channel-2 plumbing: write-back (GET) / new-top read
+        # (SET), live only when the relevant stack is non-empty
+        ctx_len = nv[cc.STACK_LEN] - (one - bits[0])
+        consumer.constraint(co * (ctx_len * lv[cc.STACK_INV]
+                                  - lv[cc.STACK_INV_AUX]))
+        consumer.constraint(co * (lv[cc.STACK_INV_AUX] - lv[ch2.used]))
+        co_nf = co * lv[cc.STACK_INV_AUX]
+        consumer.constraint(co_nf * (lv[ch2.is_read] - bits[0]))
+        consumer.constraint(co_nf * (lv[ch2.addr_context]
+                                     - nv[cc.CONTEXT]))
+        consumer.constraint(co_nf * (lv[ch2.addr_segment]
+                                     - STACK_SEGMENT))
+        consumer.constraint(co_nf * (lv[ch2.addr_virtual]
+                                     - (ctx_len - one)))
 
         # stack overflow check (user mode only)
         for flag in MIGHT_OVERFLOW:

@@ -72,7 +72,7 @@ class Interpreter:
         self.memory = MemoryState()
         self.registers = Registers(program_counter=initial_offset)
         self.clock = 0
-        # (pc, opcode, is_kernel, stack-before bottom-first) per step
+        # (pc, opcode, is_kernel, context, stack-before) per step
         self.trace = []
         self.max_cycles = max_cycles
         self.prover_input_values = list(prover_inputs or [])
@@ -128,7 +128,8 @@ class Interpreter:
         pc = r.program_counter
         assert pc < len(self.code), f"pc {pc} out of code bounds"
         op = self.code[pc]
-        self.trace.append((pc, op, r.is_kernel, tuple(self.stack())))
+        self.trace.append((pc, op, r.is_kernel, r.context,
+                           tuple(self.stack())))
         r.program_counter += 1
         self.execute(op)
 
