@@ -344,6 +344,45 @@ GLOBAL ctx_test:
         check_constraints(s, t)
 
 
+def test_byte_unpacking_and_pc_push0():
+    from zk_evm_tpu.witness import asm_parser as ap, assembler as asmblr
+    from zk_evm_tpu.witness.interpreter import Interpreter
+    consts, opcodes, _ = asmblr.load_tables()
+    src = """
+GLOBAL bp_test:
+    PUSH 0x11223344
+    PUSH 0x70000000010
+    MSTORE_32BYTES_4
+    POP
+    PUSH 0xdeadbeef
+    JUMP
+"""
+    k = asmblr.assemble([ap.parse(src)], consts, opcodes)
+    interp = Interpreter(k, initial_offset=k.global_labels["bp_test"])
+    interp.run()
+    trace, stark = cpu.cpu_rows_from_run(interp)
+    check_constraints(stark, trace)
+    # the pushed address must advance by the store length
+    r = int(np.nonzero(trace[cc.OP["m_op_32bytes"]])[0][0])
+    trace[cc.MEM_CHANNELS[0].value[0], r + 1] += 1
+    with pytest.raises(AssertionError):
+        check_constraints(stark, trace)
+    # PC/PUSH0 (synthetic: the kernel never uses them natively)
+    ops = [
+        (0x5b, True, None, 5, ()),
+        (0x58, True, None, 6, ()),        # PC -> pushes 6
+        (0x50, True, None, 7, (6,)),
+        (0x5f, True, None, 8, ()),        # PUSH0 -> pushes 0
+        (0x50, True, None, 9, (0,)),
+    ]
+    t = cpu.build_cpu_rows(ops, n_rows=8, halt_pc=10)
+    s = cpu.CpuStark(start_pc=5, halt_pc=10)
+    check_constraints(s, t)
+    t[cc.MEM_CHANNELS[0].value[0], 2] = 7   # claim PC pushed 7
+    with pytest.raises(AssertionError):
+        check_constraints(s, t)
+
+
 def test_cpu_proof_roundtrip():
     interp = _run_custom()
     trace, stark = cpu.cpu_rows_from_run(interp)

@@ -961,6 +961,31 @@ class CpuStark(Stark):
         consumer.constraint(co_nf * (lv[ch2.addr_virtual]
                                      - (ctx_len - one)))
 
+        # ---- byte_unpacking.rs ----
+        # MSTORE_32BYTES_n (bit 5 clear) pushes the written address
+        # advanced by its length (low five opcode bits + 1); the byte
+        # (un)packing itself is bound via the BytePacking CTL
+        b32 = lv[cc.OP["m_op_32bytes"]] * (bits[5] - one)
+        blen = bits[0]
+        for i in range(1, 5):
+            blen = blen + bits[i] * (1 << i)
+        blen = blen + one
+        consumer.constraint(b32 * (nv[ch0.value[0]] - lv[ch0.value[0]]
+                                   - blen))
+        consumer.constraint(b32 * (nv[ch0.value[1]] - lv[ch0.value[1]]))
+        consumer.constraint(b32 * (nv[ch0.value[2]] - lv[ch0.value[2]]))
+        for j in range(3, 8):
+            consumer.constraint(b32 * nv[ch0.value[j]])
+
+        # ---- pc.rs / push0.rs ----
+        pc_f = lv[cc.OP["pc_push0"]] * (one - bits[0])   # PC (0x58)
+        push0_f = lv[cc.OP["pc_push0"]] * bits[0]        # PUSH0 (0x5f)
+        consumer.constraint(pc_f * (nv[ch0.value[0]] - pc))
+        for j in range(1, 8):
+            consumer.constraint(pc_f * nv[ch0.value[j]])
+        for j in range(8):
+            consumer.constraint(push0_f * nv[ch0.value[j]])
+
         # stack overflow check (user mode only)
         for flag in MIGHT_OVERFLOW:
             diff = nv[cc.STACK_LEN] - (cc.MAX_USER_STACK_SIZE + 1)
