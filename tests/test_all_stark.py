@@ -101,7 +101,22 @@ def test_all_stark_sponge_scenario():
     cfg = _cfg()
     proof = prove_all(starks, traces, ctls, cfg)
     extra = _extra_sums(proof, ctls, cfg, sponge_trace)
-    verify_all(starks, proof, ctls, cfg, extra_looking_sums=extra)
+    optional = tuple(i for i, t in enumerate(traces) if t is None)
+    verify_all(starks, proof, ctls, cfg, extra_looking_sums=extra,
+               optional_tables=optional)
+
+
+def test_all_stark_rejects_vacuous_proof():
+    """An all-None AllProof must NOT verify (ADVICE r1 high)."""
+    from zk_evm_tpu.stark.multi import AllProof
+    starks = ast.all_starks()
+    ctls = ast.all_cross_table_lookups()
+    cfg = _cfg()
+    vacuous = AllProof(proofs=[None] * ast.NUM_TABLES,
+                       table_in_use=[False] * ast.NUM_TABLES)
+    with pytest.raises(AssertionError):
+        verify_all(starks, vacuous, ctls, cfg,
+                   optional_tables=ast.OPTIONAL_TABLES)
 
 
 @pytest.mark.skipif("ZK_SLOW" not in __import__("os").environ,
@@ -118,5 +133,7 @@ def test_all_stark_rejects_wrong_memory_value():
     cfg = _cfg()
     proof = prove_all(starks, traces, ctls, cfg)
     extra = _extra_sums(proof, ctls, cfg, sponge_trace)
+    optional = tuple(i for i, t in enumerate(traces) if t is None)
     with pytest.raises(AssertionError):
-        verify_all(starks, proof, ctls, cfg, extra_looking_sums=extra)
+        verify_all(starks, proof, ctls, cfg, extra_looking_sums=extra,
+                   optional_tables=optional)

@@ -88,4 +88,5 @@ def test_two_segment_pipeline_with_real_proofs():
     # every segment proof verifies
     from zk_evm_tpu.stark import verify_all
     for p in agg.proofs:
-        verify_all(starks, p, ctls, cfg)
+        optional = tuple(i for i, pr in enumerate(p.proofs) if pr is None)
+        verify_all(starks, p, ctls, cfg, optional_tables=optional)

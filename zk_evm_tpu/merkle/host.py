@@ -7,12 +7,27 @@ from ..hash import host_poseidon as hp
 
 
 def verify_path(leaf_values: list[int], index: int,
-                path: list[list[int]], cap: list[list[int]]) -> bool:
+                path: list[list[int]], cap: list[list[int]],
+                path_len: int | None = None) -> bool:
     """Check a Merkle path against a cap. `cap` is a list of 4-element
-    digests; the path stops at cap level."""
+    digests; the path stops at cap level.
+
+    `path_len` is the expected number of path levels
+    (log2(num_leaves) - cap_height). Passing it is mandatory for
+    adversarial inputs: hash_or_noop is the identity on <=4-element
+    leaves, so without the length check a cap entry "verifies" with an
+    empty path and internal digests verify with truncated paths
+    (the reference enforces these shapes at deserialization,
+    proof.rs/fri validation)."""
+    if path_len is not None and len(path) != path_len:
+        return False
+    if index < 0 or index >= len(cap) << len(path):
+        return False
     digest = hp.hash_or_noop(leaf_values)
     idx = index
     for sib in path:
+        if len(sib) != 4:
+            return False
         if idx & 1:
             digest = hp.two_to_one(sib, digest)
         else:

@@ -291,14 +291,20 @@ def _grind(challenger: Challenger, bits: int) -> int:
     states = np.tile(np.array(base, dtype=np.uint64), (batch, 1))
     for i, x in enumerate(pending):
         states[:, i] = x
-    states[:, k] = np.arange(batch, dtype=np.uint64)
-    out = poseidon.permute(GF.from_u64(states)).to_u64()
-    resp = out[:, 7]
-    ok = np.nonzero((resp >> np.uint64(64 - bits)) == 0)[0]
-    if len(ok) == 0:  # astronomically unlikely for sane batch sizes
-        raise RuntimeError("PoW grind failed; grow the batch")
+    # For 16-bit grinding a single 2^18 batch misses with p ~= e^-4
+    # (~1.8%), so retry over successive offset windows rather than abort.
+    w = None
+    for offset in range(0, 1 << 32, batch):
+        states[:, k] = offset + np.arange(batch, dtype=np.uint64)
+        out = poseidon.permute(GF.from_u64(states)).to_u64()
+        resp = out[:, 7]
+        ok = np.nonzero((resp >> np.uint64(64 - bits)) == 0)[0]
+        if len(ok):
+            w = offset + int(ok[0])
+            break
+    if w is None:
+        raise RuntimeError("PoW grind failed over the full u32 range")
     import copy
-    w = int(ok[0])
     check = copy.deepcopy(challenger)
     check.observe_element(w)
     assert check.get_challenge() >> (64 - bits) == 0
@@ -315,14 +321,41 @@ def verify_fri(oracle_caps: list[list[list[int]]],
                degree_bits: int,
                proof: FriProof,
                challenger: Challenger,
-               config: FriConfig) -> None:
+               config: FriConfig,
+               oracle_widths: list[int] | None = None) -> None:
     """Replay the transcript and check every query round. Raises
     AssertionError on any failure. `challenger` must be at the same
-    transcript position the prover's was when entering prove_fri."""
+    transcript position the prover's was when entering prove_fri.
+
+    `oracle_widths[i]` is the expected leaf width (poly count) of oracle
+    i; when omitted it is inferred from the largest poly index opened in
+    `batches` (exact widths close the leaf-equivocation gap — the
+    reference enforces them at deserialization)."""
     log_m = degree_bits + config.rate_bits
     m = 1 << log_m
     arities = config.reduction_arity_bits(degree_bits)
-    assert len(proof.commit_phase_caps) == len(arities)
+    assert len(proof.commit_phase_caps) == len(arities), \
+        "commit-phase cap count mismatch"
+    if oracle_widths is None:
+        oracle_widths = [0] * len(oracle_caps)
+        for batch in batches:
+            for oi, pi in batch.entries:
+                oracle_widths[oi] = max(oracle_widths[oi], pi + 1)
+    assert len(oracle_widths) == len(oracle_caps)
+
+    # Expected shapes for every query round (ADVICE r1: exact-shape checks).
+    cap_h0 = (len(oracle_caps[0]) - 1).bit_length()
+    for cap in oracle_caps:
+        assert len(cap) == 1 << cap_h0, "oracle cap size mismatch"
+    init_path_len = log_m - cap_h0
+    step_shapes = []   # (arity_bits, path_len, cap_len)
+    cur_lm = log_m
+    for ab, cap in zip(arities, proof.commit_phase_caps):
+        n_leaves_log = cur_lm - ab
+        cap_h = min(cap_h0, n_leaves_log)
+        step_shapes.append((ab, n_leaves_log - cap_h, 1 << cap_h))
+        assert len(cap) == 1 << cap_h, "commit-phase cap size mismatch"
+        cur_lm -= ab
 
     betas = []
     for cap in proof.commit_phase_caps:
@@ -345,7 +378,8 @@ def verify_fri(oracle_caps: list[list[list[int]]],
 
     for idx, rnd in zip(indices, proof.query_rounds):
         _verify_query(idx, rnd, oracle_caps, batches, alpha, betas,
-                      proof, log_m, arities, config)
+                      proof, log_m, arities, config,
+                      oracle_widths, init_path_len, step_shapes)
 
 
 def _bitrev_int(i: int, bits: int) -> int:
@@ -354,12 +388,18 @@ def _bitrev_int(i: int, bits: int) -> int:
 
 def _verify_query(idx: int, rnd: FriQueryRound,
                   oracle_caps, batches, alpha, betas,
-                  proof: FriProof, log_m, arities, config) -> None:
+                  proof: FriProof, log_m, arities, config,
+                  oracle_widths, init_path_len, step_shapes) -> None:
     # -- initial tree openings -------------------------------------------
     assert len(rnd.initial.leaves) == len(oracle_caps)
-    for leaf, path, cap in zip(rnd.initial.leaves, rnd.initial.paths,
-                               oracle_caps):
-        assert host_merkle.verify_path(leaf, idx, path, cap), \
+    assert len(rnd.initial.paths) == len(oracle_caps)
+    assert len(rnd.steps) == len(arities), "FRI step count mismatch"
+    for leaf, path, cap, width in zip(rnd.initial.leaves,
+                                      rnd.initial.paths,
+                                      oracle_caps, oracle_widths):
+        assert len(leaf) == width, "initial oracle leaf width mismatch"
+        assert host_merkle.verify_path(leaf, idx, path, cap,
+                                       path_len=init_path_len), \
             "initial oracle Merkle check failed"
 
     # -- reconstruct G(x) from the opened oracle values -------------------
@@ -383,16 +423,20 @@ def _verify_query(idx: int, rnd: FriQueryRound,
     cur_log_m = log_m
     shift = host.MULT_GENERATOR
     inv2 = INV2
-    for step, ab, beta, cap in zip(rnd.steps, arities, betas,
-                                   proof.commit_phase_caps):
+    for step, shape, beta, cap in zip(rnd.steps, step_shapes, betas,
+                                      proof.commit_phase_caps):
+        ab, step_path_len, _cap_len = shape
         arity = 1 << ab
+        assert len(step.coset_values) == arity, \
+            "FRI coset width mismatch"
         coset_idx = idx_cur >> ab
         slot = idx_cur & (arity - 1)
         assert tuple(step.coset_values[slot]) == tuple(eval_cur), \
             "fold chain value mismatch"
         leaf_flat = [v for pair in step.coset_values for v in pair]
         assert host_merkle.verify_path(leaf_flat, coset_idx, step.path,
-                                       cap), "commit-phase Merkle failed"
+                                       cap, path_len=step_path_len), \
+            "commit-phase Merkle failed"
         # iterated pairwise fold of the coset, tracking x per position
         gk = host.primitive_root_of_unity(cur_log_m)
         xs = [host.fmul(shift,

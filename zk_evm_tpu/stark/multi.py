@@ -88,12 +88,24 @@ def prove_all(starks: list[Stark], traces: list[np.ndarray | None],
 
 def verify_all(starks: list[Stark], all_proof: AllProof,
                ctls: list[lookup.CrossTableLookup], config: StarkConfig,
-               extra_looking_sums: dict[int, list[int]] | None = None
-               ) -> None:
+               extra_looking_sums: dict[int, list[int]] | None = None,
+               optional_tables: tuple[int, ...] = ()) -> None:
     """Verify every table proof under the replayed transcript, then check
     every CTL's global sum: sum of looking totals (+ extra looking sums,
-    keyed by CTL index, one value per challenge) == looked total."""
+    keyed by CTL index, one value per challenge) == looked total.
+
+    `optional_tables` are the only table indices allowed to omit a proof
+    (the reference's OPTIONAL_TABLE_INDICES, all_stark.rs:110-126);
+    every other table MUST carry one — otherwise an all-None AllProof
+    with degenerate 0==0 CTL sums verifies (ADVICE r1 high)."""
     extra_looking_sums = extra_looking_sums or {}
+    assert len(all_proof.proofs) == len(starks), "proof count mismatch"
+    assert len(all_proof.table_in_use) == len(starks)
+    for t, proof in enumerate(all_proof.proofs):
+        assert all_proof.table_in_use[t] == (proof is not None), \
+            f"table_in_use[{t}] inconsistent with supplied proofs"
+        if proof is None and t not in optional_tables:
+            raise AssertionError(f"missing proof for required table {t}")
     challenger = Challenger()
     caps = [p.trace_cap if p is not None else _zero_cap(config)
             for p in all_proof.proofs]
@@ -102,7 +114,6 @@ def verify_all(starks: list[Stark], all_proof: AllProof,
 
     for t, (stark, proof) in enumerate(zip(starks, all_proof.proofs)):
         if proof is None:
-            assert not all_proof.table_in_use[t]
             continue
         groups = lookup.ctl_groups_for_table(ctls, t)
         verify_stark(stark, proof, config, challenger,

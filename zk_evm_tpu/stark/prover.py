@@ -98,6 +98,9 @@ def prove_stark(stark: Stark, trace: np.ndarray, config: StarkConfig,
     init_state = challenger.compact()
     if observe_trace_cap:
         challenger.observe_cap(trace_cap)
+        # Bind single-table public inputs into the transcript (the
+        # AllStark layer observes them globally instead).
+        challenger.observe_elements(public_inputs)
 
     # 1. lookup/CTL challenges + aux commitment
     aux_batch = None

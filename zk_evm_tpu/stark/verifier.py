@@ -18,9 +18,15 @@ def verify_stark(stark: Stark, proof: StarkProof, config: StarkConfig,
                  challenger: Challenger,
                  challenges: lookup.ChallengeSet | None = None,
                  ctl_groups=None,
-                 observe_trace_cap: bool = True) -> None:
+                 observe_trace_cap: bool = True,
+                 expected_public_inputs: list[int] | None = None) -> None:
     """Raises AssertionError on any failure. `challenger` must be at the
-    same transcript position as the prover's on entry."""
+    same transcript position as the prover's on entry.
+
+    Single-table mode (observe_trace_cap=True) observes the proof's
+    public inputs in the transcript, binding them to every challenge; in
+    AllStark mode the caller observes them globally. Callers with an
+    expectation pass `expected_public_inputs` (ADVICE r1 low)."""
     fri_cfg = config.fri_config
     degree_bits = proof.degree_bits
     n = 1 << degree_bits
@@ -32,10 +38,19 @@ def verify_stark(stark: Stark, proof: StarkProof, config: StarkConfig,
     assert len(ops.trace_local) == stark.num_columns
     assert len(ops.trace_next) == stark.num_columns
     assert len(ops.quotient) == config.num_challenges << config.rate_bits
+    assert len(proof.public_inputs) == stark.num_public_inputs, \
+        "public input count mismatch"
+    if expected_public_inputs is not None:
+        assert list(proof.public_inputs) == list(expected_public_inputs), \
+            "public inputs mismatch"
+    cap_len = 1 << config.cap_height
+    for cap in (proof.trace_cap, proof.quotient_cap):
+        assert len(cap) == cap_len, "cap size mismatch"
 
     challenger.compact()
     if observe_trace_cap:
         challenger.observe_cap(proof.trace_cap)
+        challenger.observe_elements(proof.public_inputs)
     if has_aux:
         if challenges is None:
             challenges = lookup.get_challenge_set(
@@ -45,6 +60,7 @@ def verify_stark(stark: Stark, proof: StarkProof, config: StarkConfig,
         assert len(ops.aux_local) == num_aux
         assert len(ops.aux_next) == num_aux
         assert proof.aux_cap is not None
+        assert len(proof.aux_cap) == cap_len, "aux cap size mismatch"
         challenger.observe_cap(proof.aux_cap)
         z_idxs = lookup.ctl_z_first_indices(lookups, groups, challenges)
         assert len(ops.ctl_zs_first) == len(z_idxs)
@@ -113,5 +129,10 @@ def verify_stark(stark: Stark, proof: StarkProof, config: StarkConfig,
             point=(1, 0),
             entries=[(1, i) for i in z_idxs],
             values=[(v, 0) for v in ops.ctl_zs_first]))
+    oracle_widths = [num_trace]
+    if has_aux:
+        oracle_widths.append(len(ops.aux_local))
+    oracle_widths.append(len(ops.quotient))
     fri.verify_fri(oracle_caps, batches, alpha, degree_bits,
-                   proof.fri_proof, challenger, fri_cfg)
+                   proof.fri_proof, challenger, fri_cfg,
+                   oracle_widths=oracle_widths)
