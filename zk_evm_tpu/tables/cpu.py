@@ -136,16 +136,20 @@ NATIVE_FLAGS = ["binary_op", "ternary_op", "fp254_op", "eq_iszero",
                 "context_op", "m_op_general"]
 
 
-def build_cpu_rows(ops, n_rows=None, start_pc=0, halt_pc=0):
+def build_cpu_rows(ops, n_rows=None, start_pc=0, halt_pc=0,
+                   final_gas=None, final_context=0, final_stack_len=0,
+                   syscall_jumptable=0, exception_jumptable=0):
     """(num_columns, n) trace matrix from executed instructions.
 
-    `ops` entries are (opcode, is_kernel), (opcode, is_kernel, flag) or
-    (opcode, is_kernel, flag, pc) — the explicit flag covers
+    `ops` entries are (opcode, is_kernel), (opcode, is_kernel, flag),
+    (opcode, is_kernel, flag, pc), optionally extended with
+    (..., stack, ctx, gas, exc_code) — the explicit flag covers
     syscall/exception rows (whose opcode is the faulting one); the
-    explicit pc replays a recorded execution with jumps.  Without one,
-    the program counter starts at start_pc and advances by 1; padding
-    rows are halt rows (kernel mode, pc = halt_pc, running clock, no
-    flags)."""
+    explicit pc replays a recorded execution with jumps; explicit gas
+    replays the interpreter's accounting (syscall traps reset it).
+    Without one, the program counter starts at start_pc and advances by
+    1; padding rows are halt rows (kernel mode, pc = halt_pc, running
+    clock, no flags; generation/mod.rs:646-668)."""
     n = max(len(ops), 2)
     if n_rows is None:
         n_rows = 1 << max(1, n.bit_length())
@@ -155,6 +159,7 @@ def build_cpu_rows(ops, n_rows=None, start_pc=0, halt_pc=0):
     m[cc.CLOCK] = np.arange(1, n_rows + 1, dtype=np.uint64)
     m[cc.IS_KERNEL_MODE] = 1
     m[cc.PROGRAM_COUNTER] = halt_pc
+    m[cc.CONTEXT, len(ops):] = final_context
     pc = start_pc
     gas = 0
     for r, op in enumerate(ops):
@@ -165,6 +170,9 @@ def build_cpu_rows(ops, n_rows=None, start_pc=0, halt_pc=0):
             pc = op[3]
         stack = op[4] if len(op) > 4 else None
         ctx = op[5] if len(op) > 5 else 0
+        if len(op) > 6 and op[6] is not None:
+            gas = op[6]
+        exc_code = op[7] if len(op) > 7 else None
         m[cc.IS_KERNEL_MODE, r] = int(kernel)
         m[cc.CONTEXT, r] = ctx
         m[cc.CODE_CONTEXT, r] = 0 if kernel else ctx
@@ -176,15 +184,22 @@ def build_cpu_rows(ops, n_rows=None, start_pc=0, halt_pc=0):
             m[cc.OP[flag], r] = 1
             if flag == "push_prover_input":
                 m[cc.PUSH_IS_NOT_KERNEL, r] = 0 if kernel else 1
-            cost = host_gas(opcode, flag)
-            gas += cost if cost is not None else 0
+            if len(op) <= 6 or op[6] is None:
+                cost = host_gas(opcode, flag)
+                gas += cost if cost is not None else 0
+        if flag == "exception" and exc_code is not None:
+            for b in range(3):
+                m[cc.EXC_CODE_BITS[b], r] = (exc_code >> b) & 1
         if stack is not None:
             _fill_stack_witness(m, r, opcode, flag, stack, kernel, ctx)
-            if flag == "exit_kernel" and stack:
+            if flag == "exit_kernel" and stack and (
+                    len(op) <= 6 or op[6] is None):
                 gas = (stack[-1] >> 192) & 0xFFFFFFFF
         pc += 1
-    m[cc.GAS, len(ops):] = gas
+    m[cc.GAS, len(ops):] = final_gas if final_gas is not None else gas
+    m[cc.STACK_LEN, len(ops):] = final_stack_len
     _fill_overflow_aux(m, ops)
+    _fill_trap_channels(m, ops, syscall_jumptable, exception_jumptable)
     # second pass: MLOAD_GENERAL's loaded value is the next row's top;
     # context_op channel-2 witness needs the next row's stack/context;
     # next-top reads (set by their predecessor) live in the reader's
@@ -398,6 +413,36 @@ def _fill_stack_witness(m, r, opcode, flag, stack, kernel=True, ctx=0):
             m[pch.addr_virtual, r] = L - 1
 
 
+def _fill_trap_channels(m, ops, syscall_jt, exception_jt):
+    """Channel 1 of syscall/exception rows: the (unused-flagged)
+    jumptable pointer whose value is the handler address; the actual
+    3-byte read goes through the BytePacking CTL
+    (operation.rs:748-771,1009-1031)."""
+    ch1 = cc.MEM_CHANNELS[1]
+    n_rows = m.shape[1]
+    for r, op in enumerate(ops):
+        flag = op[2] if len(op) > 2 else None
+        if flag not in ("syscall", "exception"):
+            continue
+        opcode = op[0]
+        exc_code = op[7] if len(op) > 7 and op[7] is not None else 0
+        if flag == "syscall":
+            virt = syscall_jt + 3 * opcode
+        else:
+            virt = exception_jt + 3 * exc_code
+        m[ch1.used, r] = 0
+        m[ch1.is_read, r] = 1
+        m[ch1.addr_context, r] = 0
+        m[ch1.addr_segment, r] = 0        # Segment::Code.unscale()
+        m[ch1.addr_virtual, r] = virt
+        # value[0] = handler address = the next row's program counter
+        if r + 1 < n_rows and r + 1 <= len(ops):
+            if r + 1 < len(ops) and len(ops[r + 1]) > 3:
+                m[ch1.value[0], r] = ops[r + 1][3]
+        for j in range(1, 8):
+            m[ch1.value[j], r] = 0
+
+
 def _fill_overflow_aux(m, ops):
     """stack_len_bounds_aux: pseudoinverse of (next stack_len - 1025)
     when the next row is user mode (stack.rs MIGHT_OVERFLOW)."""
@@ -476,20 +521,36 @@ def _eval_stack_one(lv, nv, filt, behavior, consumer):
 
 def cpu_rows_from_run(interp, n_rows=None):
     """CPU trace from a finished kernel Interpreter run: replays the
-    recorded (pc, opcode, kernel) steps; the halt pc is wherever
-    execution stopped.  Returns (trace, CpuStark)."""
+    recorded per-step entries (pc, opcode, is_kernel, context,
+    stack-before, gas, kind); the halt pc is wherever execution
+    stopped.  Returns (trace, CpuStark)."""
     ops = []
-    for pc, opcode, kernel, ctx, stack in interp.trace:
-        flag = flag_for(opcode, kernel)
-        if flag is None:
-            raise ValueError(
-                f"executed opcode {opcode:#x} (kernel={kernel}) has no "
-                f"decode flag at pc {pc}")
-        ops.append((opcode, kernel, flag, pc, stack, ctx))
+    for pc, opcode, kernel, ctx, stack, gas, kind in interp.trace:
+        if kind == "syscall":
+            flag, exc_code = "syscall", None
+        elif isinstance(kind, tuple) and kind[0] == "exception":
+            flag, exc_code = "exception", kind[1]
+        else:
+            flag, exc_code = flag_for(opcode, kernel), None
+            if flag is None:
+                raise ValueError(
+                    f"executed opcode {opcode:#x} (kernel={kernel}) has "
+                    f"no decode flag at pc {pc}")
+        ops.append((opcode, kernel, flag, pc, stack, ctx, gas, exc_code))
     halt_pc = interp.registers.program_counter
-    trace = build_cpu_rows(ops, n_rows=n_rows, halt_pc=halt_pc)
-    first_pc = interp.trace[0][0] if interp.trace else 0
-    return trace, CpuStark(start_pc=first_pc, halt_pc=halt_pc)
+    gl = interp.kernel.global_labels
+    stark = CpuStark(start_pc=interp.trace[0][0] if interp.trace else 0,
+                     halt_pc=halt_pc,
+                     syscall_jumptable=gl.get("syscall_jumptable", 0),
+                     exception_jumptable=gl.get("exception_jumptable", 0))
+    trace = build_cpu_rows(
+        ops, n_rows=n_rows, halt_pc=halt_pc,
+        final_gas=interp.registers.gas_used,
+        final_context=interp.registers.context,
+        final_stack_len=interp.registers.stack_len,
+        syscall_jumptable=gl.get("syscall_jumptable", 0),
+        exception_jumptable=gl.get("exception_jumptable", 0))
+    return trace, stark
 
 
 class CpuStark(Stark):
@@ -498,9 +559,13 @@ class CpuStark(Stark):
     name = "cpu"
     num_columns = cc.NUM_CPU_COLUMNS
 
-    def __init__(self, start_pc: int = 0, halt_pc: int = 0):
+    def __init__(self, start_pc: int = 0, halt_pc: int = 0,
+                 syscall_jumptable: int = 0,
+                 exception_jumptable: int = 0):
         self.start_pc = start_pc
         self.halt_pc = halt_pc
+        self.syscall_jumptable = syscall_jumptable
+        self.exception_jumptable = exception_jumptable
 
     def eval(self, frame: StarkFrame, consumer: ConstraintConsumer):
         lv = frame.local
@@ -812,6 +877,47 @@ class CpuStark(Stark):
         consumer.constraint_transition(ek * (lv[ch0.value[6]]
                                              - nv[cc.GAS]))
         consumer.constraint(ek * lv[ch0.value[7]])
+
+        # ---- syscalls_exceptions.rs ----
+        sy = lv[cc.OP["syscall"]]
+        ex = lv[cc.OP["exception"]]
+        trap = sy + ex
+        exc_bits = [lv[cc.EXC_CODE_BITS[b]] for b in range(3)]
+        exc_code = exc_bits[0] + exc_bits[1] * 2 + exc_bits[2] * 4
+        # only exc_stop (code 6) may fire in kernel mode
+        consumer.constraint(ex * (exc_code - 6) * kernel)
+        for b in exc_bits:
+            consumer.constraint(ex * b * (b - one))
+        jch = cc.MEM_CHANNELS[1]
+        # jumptable pointer channel: flagged unused (the 3-byte read
+        # goes through the BytePacking CTL), kernel code segment
+        consumer.constraint(trap * lv[jch.used])
+        consumer.constraint(trap * (lv[jch.is_read] - one))
+        consumer.constraint(trap * lv[jch.addr_context])
+        consumer.constraint(trap * lv[jch.addr_segment])  # Code == 0
+        consumer.constraint(sy * (lv[jch.addr_virtual]
+                                  - (opcode * 3
+                                     + self.syscall_jumptable)))
+        consumer.constraint(ex * (lv[jch.addr_virtual]
+                                  - (exc_code * 3
+                                     + self.exception_jumptable)))
+        for j in range(1, 8):
+            consumer.constraint(trap * lv[jch.value[j]])
+        consumer.constraint(trap * lv[cc.MEM_CHANNELS[2].used])
+        # handler entry: next pc = handler, kernel mode, gas reset
+        consumer.constraint_transition(trap * (npc - lv[jch.value[0]]))
+        consumer.constraint_transition(trap * (nkernel - one))
+        consumer.constraint_transition(trap * nv[cc.GAS])
+        # kexit_info pushed as the new top of stack
+        out = [nv[ch0.value[j]] for j in range(8)]
+        consumer.constraint_transition(sy * (out[0] - (pc + one)))
+        consumer.constraint_transition(ex * (out[0] - pc))
+        consumer.constraint_transition(sy * (out[1] - kernel))
+        consumer.constraint_transition(trap * (out[6] - lv[cc.GAS]))
+        consumer.constraint_transition(trap * out[7])
+        consumer.constraint_transition(ex * (exc_code - 6) * out[1])
+        for j in range(2, 6):
+            consumer.constraint_transition(trap * out[j])
 
         # ---- simple_logic/eq_iszero.rs ----
         ei = lv[cc.OP["eq_iszero"]]

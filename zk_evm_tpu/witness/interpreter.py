@@ -244,6 +244,7 @@ class Interpreter:
         self.jumpdest_collected: dict = {}   # ctx -> set(dst)
         self._final_registers = None
         self._final_exception_done = False
+        self._last_kind = None
 
         # ---- GenerationState fields (state.rs:350-399) ------------------
         self.inputs = None
@@ -411,6 +412,12 @@ class Interpreter:
                     self._final_registers = replace(r)
                     self._write_final_registers(self._final_registers)
                     self._final_exception_done = True
+                    if self.record_trace:
+                        opc = self.code[pc] if pc < len(self.code) else 0
+                        self.trace.append(
+                            [pc, opc, r.is_kernel, r.context,
+                             tuple(self.stack()), r.gas_used,
+                             ("exception", EXC_STOP)])
                     self.exception(EXC_STOP)
                     self.clock += 1
                     continue
@@ -446,10 +453,15 @@ class Interpreter:
             op = self.code[pc]
         else:
             op = self.memory.get(code_ctx, Segment.Code, pc) & 0xFF
+        entry = None
         if self.record_trace:
-            self.trace.append((pc, op, r.is_kernel, r.context,
-                               tuple(self.stack())))
+            # [pc, opcode, is_kernel, context, stack-before, gas, kind]
+            # kind: None (native) | "syscall" | ("exception", exc_code)
+            entry = [pc, op, r.is_kernel, r.context,
+                     tuple(self.stack()), r.gas_used, None]
+            self.trace.append(entry)
         saved = replace(r)
+        self._last_kind = None
         try:
             if self.is_jumpdest_analysis and r.is_kernel and \
                     pc == self.kernel.global_labels.get("jumpdest_analysis"):
@@ -463,13 +475,20 @@ class Interpreter:
             r.program_counter += 1
             self.execute(op)
             self._charge_gas(op)
+            if entry is not None:
+                entry[6] = self._last_kind
         except ProgramError as e:
             if saved.is_kernel:
                 raise KernelPanic(
                     f"{e} in kernel at pc={pc} "
                     f"({self.kernel.offset_label(pc)}), "
                     f"stack={[hex(v) for v in self.stack()[-8:]]}") from e
-            self.registers = replace(saved)
+            # roll the registers back in place (run() holds a reference)
+            for f in ("program_counter", "is_kernel", "context",
+                      "stack_len", "gas_used"):
+                setattr(r, f, getattr(saved, f))
+            if entry is not None:
+                entry[6] = ("exception", e.exc_code)
             self.exception(e.exc_code)
 
     # -- gas (gas.rs + perform_state_op OOG check) -----------------------
@@ -524,6 +543,7 @@ class Interpreter:
         r.is_kernel = True
         r.gas_used = 0
         self.push(kexit_info)
+        self._last_kind = "syscall"
 
     def exception(self, exc_code: int):
         r = self.registers
@@ -1021,6 +1041,7 @@ class Interpreter:
         sim.jumpdest_collected = {}
         sim._final_registers = None
         sim._final_exception_done = False
+        sim._last_kind = None
         sim.inputs = self.inputs
         sim.next_txn_index = self.next_txn_index
         sim.rlp_prover_inputs = list(self.rlp_prover_inputs)
