@@ -23,6 +23,7 @@ import numpy as np
 from ..field import host
 from ..stark import Stark, StarkFrame, ConstraintConsumer
 from . import cpu_columns as cc
+from .arithmetic import BN_BASE
 
 # (block start, number of top bits that must match, kernel_only, flag)
 ALIGNED_BLOCKS = [
@@ -114,7 +115,7 @@ JUMPDEST_BITS_SEGMENT = 14        # Segment::JumpdestBits.unscale()
 STACK_BEHAVIORS = {
     "binary_op": (2, True, True),
     "ternary_op": (3, True, True),
-    "fp254_op": (2, True, True),
+    "fp254_op": (2, True, False),     # ch2 carries BN_BASE (modfp254.rs)
     "logic_op": (2, True, True),
     "shift": (2, True, False),
     "push_prover_input": (0, True, True),
@@ -195,6 +196,10 @@ def build_cpu_rows(ops, n_rows=None, start_pc=0, halt_pc=0,
             if flag == "exit_kernel" and stack and (
                     len(op) <= 6 or op[6] is None):
                 gas = (stack[-1] >> 192) & 0xFFFFFFFF
+        if flag == "fp254_op":
+            # channel 2 (unused) carries the BN254 modulus for the
+            # arithmetic CTL (operation.rs:102-113, cpu/modfp254.rs)
+            _set_value(m, r, cc.MEM_CHANNELS[2], BN_BASE)
         pc += 1
     m[cc.GAS, len(ops):] = final_gas if final_gas is not None else gas
     m[cc.STACK_LEN, len(ops):] = final_stack_len
@@ -1066,6 +1071,13 @@ class CpuStark(Stark):
                                      - STACK_SEGMENT))
         consumer.constraint(co_nf * (lv[ch2.addr_virtual]
                                      - (ctx_len - one)))
+
+        # ---- modfp254.rs ----
+        # fp254 ops reuse the ternary-op arithmetic CTL shape with the
+        # BN254 modulus pinned into channel 2 instead of a stack read
+        fp = lv[cc.OP["fp254_op"]]
+        for j, p_limb in enumerate(_limbs(BN_BASE)):
+            consumer.constraint(fp * (lv[ch2.value[j]] - p_limb))
 
         # ---- byte_unpacking.rs ----
         # MSTORE_32BYTES_n (bit 5 clear) pushes the written address

@@ -265,6 +265,14 @@ class Interpreter:
         # phase-C recording hooks (filled by the tracer)
         self.on_keccak = None
 
+        # coprocessor op logs for table generation (traces.rs): entries
+        # are (step, payload) where step is the CPU trace row index
+        self.arith_log = []     # (step, (kind,in0,in1,in2,opcode,result))
+        self.logic_log = []     # (step, (op, in0, in1))
+        self.sponge_log = []    # (step, (ctx, seg, virt), input bytes)
+        self.bp_log = []        # (step, is_read, (ctx,seg,virt), bytes)
+        self.metadata_ops = []  # (segment, virt, value) ts=2 writes
+
         # preload kernel code into context 0's Code segment
         for i, b in enumerate(kernel.code):
             if b:
@@ -354,14 +362,21 @@ class Interpreter:
         ]
         for name, val in gm_writes:
             mem.set(0, Segment.GlobalMetadata, _gm(name), int(val))
+            self.metadata_ops.append((Segment.GlobalMetadata, _gm(name),
+                                      int(val)))
         for i in range(8):
             mem.set(0, Segment.GlobalBlockBloom, i, md.block_bloom[i])
+            self.metadata_ops.append((Segment.GlobalBlockBloom, i,
+                                      md.block_bloom[i]))
         for i in range(256):
             mem.set(0, Segment.BlockHashes, i, h2u(bh.prev_hashes[i]))
+            self.metadata_ops.append((Segment.BlockHashes, i,
+                                      h2u(bh.prev_hashes[i])))
         # registers_before = RegistersState::new(): pc=main, kernel=1
         main_pc = self.kernel.global_labels["main"]
         for i, v in enumerate([main_pc, 1, 0, 0, 0, 0]):
             mem.set(0, Segment.RegistersStates, i, v)
+            self.metadata_ops.append((Segment.RegistersStates, i, v))
 
     # -- stack ----------------------------------------------------------
     def push(self, v):
@@ -442,6 +457,7 @@ class Interpreter:
                 stack_top, fr.context, fr.gas_used]
         for i, v in enumerate(vals):
             self.memory.set(0, Segment.RegistersStates, 6 + i, v)
+            self.metadata_ops.append((Segment.RegistersStates, 6 + i, v))
 
     def step(self):
         r = self.registers
@@ -522,6 +538,30 @@ class Interpreter:
             if r.gas_used > limit:
                 raise ProgramError(EXC_OUT_OF_GAS)
 
+    # -- coprocessor op recording (witness/operation.rs) ------------------
+    def _step_idx(self):
+        return len(self.trace) - 1
+
+    def _rec_arith(self, kind, in0, in1, in2=0, opcode=0, result=None):
+        if self.record_trace:
+            self.arith_log.append(
+                (self._step_idx(), (kind, in0, in1, in2, opcode, result)))
+
+    def _rec_logic(self, op, in0, in1):
+        if self.record_trace:
+            self.logic_log.append((self._step_idx(), (op, in0, in1)))
+
+    def _rec_bp(self, is_read, ctx, seg, virt, data):
+        if self.record_trace and data:
+            self.bp_log.append(
+                (self._step_idx(), is_read, (ctx, seg, virt), bytes(data)))
+
+    def _stack_top_or_zero(self):
+        r = self.registers
+        if r.stack_len <= 0:
+            return 0
+        return self.memory.get(r.context, Segment.Stack, r.stack_len - 1)
+
     # -- traps (operation.rs:722-831,983-1083) ---------------------------
     def _jumptable_target(self, table_label: str, index: int) -> int:
         base = self.kernel.global_labels[table_label] + 3 * index
@@ -539,6 +579,13 @@ class Interpreter:
         kexit_info = (r.program_counter
                       | (int(r.is_kernel) << 32)
                       | (r.gas_used << 192))
+        # jumptable 3-byte read (BytePacking CTL) + gas range check
+        # (operation.rs:748-807)
+        jt = self.kernel.global_labels["syscall_jumptable"] + 3 * op
+        self._rec_bp(True, 0, Segment.Code, jt,
+                     bytes(self.code[jt:jt + 3]))
+        self._rec_arith("range_check", self._stack_top_or_zero(), new_pc,
+                        0, opcode=op, result=kexit_info)
         r.program_counter = new_pc
         r.is_kernel = True
         r.gas_used = 0
@@ -553,6 +600,19 @@ class Interpreter:
         exc_info = (r.program_counter
                     | (int(r.is_kernel) << 32)
                     | (r.gas_used << 192))
+        # faulting opcode for the range-check (operation.rs:1041-1057)
+        code_ctx = r.code_context()
+        pc = r.program_counter
+        if code_ctx == 0 and r.is_kernel:
+            opc = self.code[pc] if pc < len(self.code) else 0
+        else:
+            opc = self.memory.get(code_ctx, Segment.Code, pc) & 0xFF
+        jt = self.kernel.global_labels["exception_jumptable"] \
+            + 3 * exc_code
+        self._rec_bp(True, 0, Segment.Code, jt,
+                     bytes(self.code[jt:jt + 3]))
+        self._rec_arith("range_check", self._stack_top_or_zero(), new_pc,
+                        0, opcode=opc, result=exc_info)
         r.program_counter = new_pc
         r.is_kernel = True
         r.gas_used = 0
@@ -623,9 +683,13 @@ class Interpreter:
             if code_ctx == 0 and r.is_kernel:
                 v = int.from_bytes(self.code[pc:pc + n], "big")
             else:
-                v = int.from_bytes(
-                    self.memory.read_bytes(code_ctx, Segment.Code, pc, n),
-                    "big")
+                data = self.memory.read_bytes(code_ctx, Segment.Code,
+                                              pc, n)
+                v = int.from_bytes(data, "big")
+                # user PUSH immediates are verified via the BytePacking
+                # CTL (operation.rs:490-494); kernel code is bound by
+                # the MemBefore cap instead
+                self._rec_bp(True, code_ctx, Segment.Code, pc, data)
             r.program_counter += n
             self.push_checked(v)
         elif 0x80 <= op <= 0x8F:                    # DUP1..16
@@ -641,48 +705,65 @@ class Interpreter:
             self.memory.set(r.context, Segment.Stack, i0 - d, a)
         elif op == 0x01:
             self.require_stack(2)
-            push((pop() + pop()) & U256_MASK)
+            a, b = pop(), pop()
+            self._rec_arith("add", a, b)
+            push((a + b) & U256_MASK)
         elif op == 0x02:
             self.require_stack(2)
-            push((pop() * pop()) & U256_MASK)
+            a, b = pop(), pop()
+            self._rec_arith("mul", a, b)
+            push((a * b) & U256_MASK)
         elif op == 0x03:
             self.require_stack(2)
             a, b = pop(), pop()
+            self._rec_arith("sub", a, b)
             push((a - b) & U256_MASK)
         elif op == 0x04:
             self.require_stack(2)
             a, b = pop(), pop()
+            self._rec_arith("div", a, b)
             push(0 if b == 0 else a // b)
         elif op == 0x06:
             self.require_stack(2)
             a, b = pop(), pop()
+            self._rec_arith("mod", a, b)
             push(0 if b == 0 else a % b)
         elif op == 0x08:
             self.require_stack(3)
             a, b, n = pop(), pop(), pop()
+            self._rec_arith("addmod", a, b, n)
             push(0 if n == 0 else (a + b) % n)
         elif op == 0x09:
             self.require_stack(3)
             a, b, n = pop(), pop(), pop()
+            self._rec_arith("mulmod", a, b, n)
             push(0 if n == 0 else (a * b) % n)
         elif op == 0x0C and r.is_kernel:
             a, b = pop(), pop()
+            self._rec_arith("addfp254", a, b)
             push((a + b) % BN_BASE)
         elif op == 0x0D and r.is_kernel:
             a, b = pop(), pop()
+            self._rec_arith("mulfp254", a, b)
             push((a * b) % BN_BASE)
         elif op == 0x0E and r.is_kernel:
             a, b = pop(), pop()
+            self._rec_arith("subfp254", a, b)
             push((a - b) % BN_BASE)
         elif op == 0x0F and r.is_kernel:            # SUBMOD
             a, b, n = pop(), pop(), pop()
+            self._rec_arith("submod", a, b, n)
             push(0 if n == 0 else (a - b) % n)
         elif op == 0x10:
             self.require_stack(2)
-            push(int(pop() < pop()))
+            a, b = pop(), pop()
+            self._rec_arith("lt", a, b)
+            push(int(a < b))
         elif op == 0x11:
             self.require_stack(2)
-            push(int(pop() > pop()))
+            a, b = pop(), pop()
+            self._rec_arith("gt", a, b)
+            push(int(a > b))
         elif op == 0x14:
             self.require_stack(2)
             push(int(pop() == pop()))
@@ -690,26 +771,35 @@ class Interpreter:
             push(int(pop() == 0))
         elif op == 0x16:
             self.require_stack(2)
-            push(pop() & pop())
+            a, b = pop(), pop()
+            self._rec_logic("and", a, b)
+            push(a & b)
         elif op == 0x17:
             self.require_stack(2)
-            push(pop() | pop())
+            a, b = pop(), pop()
+            self._rec_logic("or", a, b)
+            push(a | b)
         elif op == 0x18:
             self.require_stack(2)
-            push(pop() ^ pop())
+            a, b = pop(), pop()
+            self._rec_logic("xor", a, b)
+            push(a ^ b)
         elif op == 0x19:
             push(pop() ^ U256_MASK)
         elif op == 0x1A:                            # BYTE
             self.require_stack(2)
             i, x = pop(), pop()
+            self._rec_arith("byte", i, x)
             push(0 if i >= 32 else (x >> (8 * (31 - i))) & 0xFF)
         elif op == 0x1B:                            # SHL
             self.require_stack(2)
             s, x = pop(), pop()
+            self._rec_arith("shl", s, x)
             push((x << s) & U256_MASK if s < 256 else 0)
         elif op == 0x1C:                            # SHR
             self.require_stack(2)
             s, x = pop(), pop()
+            self._rec_arith("shr", s, x)
             push(x >> s if s < 256 else 0)
         elif op == 0x21 and r.is_kernel:            # KECCAK_GENERAL
             self.require_stack(2)
@@ -717,6 +807,9 @@ class Interpreter:
             ctx, seg, virt = _unpack_addr(addr)
             data = self.memory.read_bytes(ctx, seg, virt, length)
             digest = keccak256(data)
+            if self.record_trace:
+                self.sponge_log.append(
+                    (self._step_idx(), (ctx, seg, virt), data))
             if self.on_keccak is not None:
                 self.on_keccak((ctx, seg, virt), data, self.clock)
             push(int.from_bytes(digest, "big"))
@@ -748,12 +841,17 @@ class Interpreter:
             addr, value = pop(), pop()
             ctx, seg, virt = _unpack_addr(addr)
             bs = (value & ((1 << (8 * n)) - 1)).to_bytes(n, "big")
+            self._rec_bp(False, ctx, seg, virt, bs)
             for i, b in enumerate(bs):
                 self.memory.set(ctx, seg, virt + i, b)
             push(addr + n)
         elif op == 0xEE and r.is_kernel:            # PROVER_INPUT
             path = self.kernel.prover_inputs.get(r.program_counter - 1)
-            self.push(self.prover_input(path))
+            old_top = self._stack_top_or_zero()
+            v = self.prover_input(path)
+            self._rec_arith("range_check", old_top, 0, 0, opcode=0xEE,
+                            result=v)
+            self.push(v)
         elif op == 0xF6 and r.is_kernel:            # GET_CONTEXT
             push(r.context << CONTEXT_SCALING_FACTOR)
         elif op == 0xF7 and r.is_kernel:            # SET_CONTEXT
@@ -771,6 +869,7 @@ class Interpreter:
             addr, length = pop(), pop()
             ctx, seg, virt = _unpack_addr(addr)
             data = self.memory.read_bytes(ctx, seg, virt, length)
+            self._rec_bp(True, ctx, seg, virt, data)
             push(int.from_bytes(data, "big"))
         elif op == 0xF9 and r.is_kernel:            # EXIT_KERNEL
             kexit_info = pop()
@@ -1057,6 +1156,11 @@ class Interpreter:
         sim.contract_code = dict(self.contract_code)
         sim.stale_contexts = []
         sim.on_keccak = None
+        sim.arith_log = []
+        sim.logic_log = []
+        sim.sponge_log = []
+        sim.bp_log = []
+        sim.metadata_ops = []
         return sim
 
     # ---- access lists (prover_input.rs:405-500) -------------------------
