@@ -140,3 +140,57 @@ def check_constraints(stark: Stark, trace: np.ndarray,
         stark.eval(frame, cc)
         if eval_extra is not None:
             eval_extra(frame, cc)
+
+
+# ---------------------------------------------------------------------------
+# Exact CTL multiset balance checking (debugging aid for witness gen)
+# ---------------------------------------------------------------------------
+
+def _view_multiset(trace: np.ndarray, view):
+    """Counter of combined-column tuples over filter-selected rows."""
+    from collections import Counter
+    from .lookup import _coerce_expr
+    cols = [_coerce_expr(c).eval_np(trace) for c in view.columns]
+    f = view.filter.eval_np(trace)
+    out = Counter()
+    for r in np.nonzero(f)[0]:
+        out[tuple(int(c[r]) for c in cols)] += int(f[r])
+    return out
+
+
+def check_ctl_balance(ctls, traces, extra_looking_values=None,
+                      max_report: int = 8) -> None:
+    """Exact multiset comparison of every CTL's looking vs looked side
+    over raw traces — far more diagnostic than an unbalanced-proof error
+    (the reference's debug_utils::check_ctls, verifier.rs tests).
+
+    `extra_looking_values`: {ctl_index: [row tuple, ...]} for values the
+    verifier injects from public inputs (memory metadata writes)."""
+    from collections import Counter
+    extra_looking_values = extra_looking_values or {}
+    errors = []
+    for idx, ctl in enumerate(ctls):
+        looking = Counter()
+        for view in ctl.looking:
+            t = traces[view.table]
+            if t is None:
+                continue
+            looking += _view_multiset(t, view)
+        for row in extra_looking_values.get(idx, ()):
+            looking[tuple(int(v) % 0xFFFFFFFF00000001 for v in row)] += 1
+        t = traces[ctl.looked.table]
+        looked = _view_multiset(t, ctl.looked) if t is not None \
+            else Counter()
+        if looking != looked:
+            only_looking = looking - looked
+            only_looked = looked - looking
+            msg = [f"CTL '{ctl.name}': {sum(only_looking.values())} "
+                   f"unmatched looking, {sum(only_looked.values())} "
+                   f"unmatched looked"]
+            for tup, cnt in list(only_looking.items())[:max_report]:
+                msg.append(f"  looking x{cnt}: {tup}")
+            for tup, cnt in list(only_looked.items())[:max_report]:
+                msg.append(f"  looked  x{cnt}: {tup}")
+            errors.append("\n".join(msg))
+    if errors:
+        raise AssertionError("\n".join(errors))

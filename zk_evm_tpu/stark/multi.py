@@ -52,9 +52,6 @@ def prove_all(starks: list[Stark], traces: list[np.ndarray | None],
     None for unused optional tables (zero-cap observed, no proof)."""
     public_inputs = public_inputs or []
     table_in_use = [t is not None for t in traces]
-    for i, ctl in enumerate(ctls):
-        assert table_in_use[ctl.looked.table] or all(
-            not table_in_use[v.table] for v in ctl.looking), ctl.name
 
     challenger = Challenger()
     batches: list[PolynomialBatch | None] = []

@@ -148,3 +148,91 @@ class PublicValues:
 
     def observe(self, challenger):
         challenger.observe_elements(self.to_elements())
+
+
+# ---------------------------------------------------------------------------
+# Memory extra looking values (verifier.rs:319-512)
+# ---------------------------------------------------------------------------
+
+def _h2u(h) -> int:
+    return int.from_bytes(h, "big") if isinstance(h, (bytes, bytearray)) \
+        else int(h)
+
+
+def memory_extra_looking_values(pv: PublicValues, kernel_hash: int,
+                                kernel_len: int) -> list[list[int]]:
+    """The memory-table rows written before execution that no table looks
+    up: block metadata, trie digests, bloom, block hashes and the
+    registers before/after — each as the Memory CTL tuple
+    (is_read=0, ctx=0, segment, virt, 8 value limbs, timestamp=2),
+    recomputed from public values alone so the verifier can add their
+    logUp contribution to the looking side (verifier.rs:319-490,
+    add_data_write :492-512)."""
+    from ..witness.interpreter import _gm
+    md = pv.block_metadata
+    ebd = pv.extra_block_data
+    fields = [
+        ("BLOCK_BENEFICIARY", md.block_beneficiary),
+        ("BLOCK_TIMESTAMP", md.block_timestamp),
+        ("BLOCK_NUMBER", md.block_number),
+        ("BLOCK_DIFFICULTY", md.block_difficulty),
+        ("BLOCK_RANDOM", _h2u(md.block_random)),
+        ("BLOCK_GAS_LIMIT", md.block_gaslimit),
+        ("BLOCK_CHAIN_ID", md.block_chain_id),
+        ("BLOCK_BASE_FEE", md.block_base_fee),
+        ("BLOCK_CURRENT_HASH", _h2u(pv.block_hashes.cur_hash)),
+        ("BLOCK_GAS_USED", md.block_gas_used),
+        ("BLOCK_BLOB_GAS_USED", md.block_blob_gas_used),
+        ("BLOCK_EXCESS_BLOB_GAS", md.block_excess_blob_gas),
+        ("PARENT_BEACON_BLOCK_ROOT", _h2u(md.parent_beacon_block_root)),
+        ("BLOCK_GAS_USED_BEFORE", ebd.gas_used_before),
+        ("BLOCK_GAS_USED_AFTER", ebd.gas_used_after),
+        ("TXN_NUMBER_BEFORE", ebd.txn_number_before),
+        ("TXN_NUMBER_AFTER", ebd.txn_number_after),
+        ("STATE_TRIE_DIGEST_BEFORE", _h2u(pv.trie_roots_before.state_root)),
+        ("TXN_TRIE_DIGEST_BEFORE",
+         _h2u(pv.trie_roots_before.transactions_root)),
+        ("RECEIPT_TRIE_DIGEST_BEFORE",
+         _h2u(pv.trie_roots_before.receipts_root)),
+        ("STATE_TRIE_DIGEST_AFTER", _h2u(pv.trie_roots_after.state_root)),
+        ("TXN_TRIE_DIGEST_AFTER",
+         _h2u(pv.trie_roots_after.transactions_root)),
+        ("RECEIPT_TRIE_DIGEST_AFTER",
+         _h2u(pv.trie_roots_after.receipts_root)),
+        ("KERNEL_HASH", kernel_hash),
+        ("KERNEL_LEN", kernel_len),
+    ]
+    from ..tables.segments import Segment
+
+    def row(seg, virt, val):
+        return [0, 0, int(seg), virt] + u256_limbs(val) + [2]
+
+    out = [row(Segment.GlobalMetadata, _gm(name), int(val))
+           for name, val in fields]
+    out += [row(Segment.GlobalBlockBloom, i, md.block_bloom[i])
+            for i in range(8)]
+    out += [row(Segment.BlockHashes, i, _h2u(pv.block_hashes.prev_hashes[i]))
+            for i in range(256)]
+    for base, regs in ((0, pv.registers_before), (6, pv.registers_after)):
+        vals = [regs.program_counter, regs.is_kernel, regs.stack_len,
+                regs.stack_top, regs.context, regs.gas_used]
+        out += [row(Segment.RegistersStates, base + i, v)
+                for i, v in enumerate(vals)]
+    return out
+
+
+def memory_extra_looking_sum(pv: PublicValues, kernel_hash: int,
+                             kernel_len: int, beta: int,
+                             gamma: int) -> int:
+    """logUp sum of the extra values under one CTL challenge pair, with
+    this package's combine convention (sum_i v_i * gamma^i)."""
+    from ..field import host
+    total = 0
+    for vals in memory_extra_looking_values(pv, kernel_hash, kernel_len):
+        combined = 0
+        gp = 1
+        for v in vals:
+            combined = host.fadd(combined, host.fmul(v % host.P, gp))
+            gp = host.fmul(gp, gamma)
+        total = host.fadd(total, host.finv(host.fadd(combined, beta)))
+    return total

@@ -232,13 +232,14 @@ def ctl_filter_mem_after() -> Filter:
     return Filter(column=MEM_AFTER_FILTER)
 
 
-def ctl_context_pruning_looked():
-    """(stale_contexts - 1) with is_pruned filter (the CPU pushes stale
-    context ids via ctl_context_pruning)."""
+def ctl_context_pruning_looking():
+    """(stale_contexts - 1) with is_pruned filter: the Memory table's
+    pruning rows look up the CPU's SET_CONTEXT-with-pruning-flag rows
+    (memory_stark.rs ctl_context_pruning_looking:68-77)."""
     return (ColExpr(terms=((STALE_CONTEXTS, 1),), const=-1),)
 
 
-def ctl_context_pruning_looked_filter() -> Filter:
+def ctl_context_pruning_looking_filter() -> Filter:
     return Filter(constants=(col(IS_PRUNED),))
 
 

@@ -124,6 +124,23 @@ class MemoryState:
     def insert_preinitialized_segment(self, seg, content):
         self.preinit[seg] = list(content)
 
+    def snapshot_all(self):
+        """All (address, value) pairs currently set — zeros included for
+        preinitialized segments, skipped elsewhere (the reference's
+        get_all_memory_address_and_values, generation/mod.rs:466-488).
+        This is the MemBefore content for the (first) segment."""
+        out = []
+        for seg in sorted(self.preinit):
+            for v_i, val in enumerate(self.preinit_view(seg)):
+                out.append(((0, seg, v_i), val))
+        for (ctx, seg), d in sorted(self.data.items()):
+            if ctx == 0 and seg in self.preinit:
+                continue
+            for virt in sorted(d):
+                if d[virt]:
+                    out.append(((ctx, seg, virt), d[virt]))
+        return out
+
     def is_preinitialized_segment(self, seg) -> bool:
         return seg in self.preinit
 
@@ -278,10 +295,18 @@ class Interpreter:
             if b:
                 self.memory.set(0, Segment.Code, i, b)
         self.code = kernel.code
+        # shift table: ShiftTable[i] = 2^i (the CPU shift module reads it
+        # through channel 2; generation/mod.rs:447-461 puts it in memory
+        # before execution so it lands in MemBefore)
+        for i in range(256):
+            self.memory.set(0, Segment.ShiftTable, i, 1 << i)
         # RlpRaw[0] = 0x80 (interpreter.rs:499-503)
         self.memory.set(0, Segment.RlpRaw, 0, 0x80)
         for v in initial_stack:
             self.push(v)
+        # MemBefore content (re-snapshot in initialize_from_inputs once
+        # the preinitialized trie segments are loaded)
+        self.mem_before_values = self.memory.snapshot_all()
 
     # ------------------------------------------------------------------
     # GenerationInputs initialization (interpreter.rs:225-400)
@@ -325,6 +350,11 @@ class Interpreter:
         def h2u(h):
             return int.from_bytes(h, "big") if isinstance(
                 h, (bytes, bytearray)) else int(h)
+
+        # MemBefore snapshot: memory content before the timestamp-2
+        # metadata writes below (generation/mod.rs:506-509 computes
+        # actual_mem_before before apply_metadata_and_tries_memops)
+        self.mem_before_values = mem.snapshot_all()
 
         gm_writes = [
             ("BLOCK_BENEFICIARY", int(md.block_beneficiary)),
@@ -857,6 +887,10 @@ class Interpreter:
         elif op == 0xF7 and r.is_kernel:            # SET_CONTEXT
             ctx_scaled = pop()
             new_ctx = ctx_scaled >> CONTEXT_SCALING_FACTOR
+            # bit 0 of the popped word flags the old context as stale
+            # (operation.rs:384-442 context pruning)
+            if ctx_scaled & 1:
+                self.stale_contexts.append(r.context)
             sp_field = _ctxm("STACK_SIZE")
             self.memory.set(r.context, Segment.ContextMetadata,
                             sp_field, r.stack_len)
