@@ -12,170 +12,8 @@ import pytest
 
 from zk_evm_tpu.witness.assembler import combined_kernel
 from zk_evm_tpu.witness.interpreter import run_generation
-from zk_evm_tpu.witness import testing_fixtures as tf
-from zk_evm_tpu.decoder.core import GenerationInputs, TrieInputs
-from zk_evm_tpu.stark.public_values import (BlockMetadata, BlockHashes,
-                                            TrieRoots)
-from zk_evm_tpu.mpt.trie import Trie, Nibbles
-from zk_evm_tpu.mpt.rlp import rlp_encode
-from zk_evm_tpu.mpt.world import Account
-from zk_evm_tpu.native import keccak256
-
-
-def eth_to_wei(eth: int) -> int:
-    return eth * 10**18
-
-
-SENDER = bytes.fromhex("2c7536e3605d9c16a7a3d7b1898e529396a65c23")
-TO = bytes.fromhex("a0a0a0a0a0a0a0a0a0a0a0a0a0a0a0a0a0a0a0a0")
-BENEFICIARY = bytes.fromhex("deadbeefdeadbeefdeadbeefdeadbeefdeadbeef")
-# Generated by the reference with a py-evm script (simple_transfer.rs:70)
-TXN = bytes.fromhex(
-    "f861050a8255f094a0a0a0a0a0a0a0a0a0a0a0a0a0a0a0a0a0a0a0a0648242421b"
-    "a02c89eb757d9deeb1f5b3859a9d4d679951ef610ac47ad4608dc142beb1b7e313"
-    "a05af7e9fbab825455d36c36c7f4cfcafbeafa9a77bdff936b52afb36d4fe4bcdd")
-VALUE = 100
-
-
-def build_simple_transfer_inputs():
-    sender_key = keccak256(SENDER)
-    to_key = keccak256(TO)
-
-    sender_before = Account(nonce=5, balance=eth_to_wei(100_000))
-
-    state_before, storage_tries = tf.preinitialized_state_and_storage_tries()
-    beacon_storage = Trie()  # starts empty
-    state_before.insert(Nibbles.from_bytes(sender_key),
-                        sender_before.rlp())
-
-    md = BlockMetadata(
-        block_beneficiary=int.from_bytes(BENEFICIARY, "big"),
-        block_timestamp=0x03E8,
-        block_number=1,
-        block_difficulty=0x020000,
-        block_random=(0x020000).to_bytes(32, "big"),
-        block_gaslimit=0xFF112233,
-        block_chain_id=1,
-        block_base_fee=0xA,
-        block_gas_used=21032)
-
-    contract_code = {keccak256(b""): b""}
-
-    # expected post-state
-    txdata_gas = 2 * 16
-    gas_used = 21_000 + txdata_gas
-    state_after = Trie()
-    tf.update_beacon_roots_account_storage(
-        beacon_storage, md.block_timestamp, md.parent_beacon_block_root)
-    beacon_after = tf.beacon_roots_contract_from_storage(beacon_storage)
-    sender_after = Account(
-        nonce=6, balance=sender_before.balance - VALUE - gas_used * 10)
-    to_after = Account(balance=VALUE)
-    state_after.insert(Nibbles.from_bytes(sender_key), sender_after.rlp())
-    state_after.insert(Nibbles.from_bytes(to_key), to_after.rlp())
-    state_after.insert(tf.beacon_roots_account_nibbles(),
-                       beacon_after.rlp())
-
-    receipt_0 = rlp_encode([1, 21032, b"\x00" * 256, []])
-    receipts = Trie()
-    receipts.insert(Nibbles([8, 0]), receipt_0)
-    transactions = Trie()
-    transactions.insert(Nibbles([8, 0]), TXN)
-
-    roots_after = TrieRoots(state_root=state_after.root_hash(),
-                            transactions_root=transactions.root_hash(),
-                            receipts_root=receipts.root_hash())
-
-    tries = TrieInputs(state=state_before, storage=storage_tries,
-                       transactions=Trie(), receipts=Trie())
-
-    return GenerationInputs(
-        txn_number_before=0,
-        gas_used_before=0,
-        gas_used_after=21032,
-        signed_txns=[TXN],
-        withdrawals=[],
-        tries=tries,
-        trie_roots_after=roots_after,
-        checkpoint_state_trie_root=Trie().root_hash(),
-        checkpoint_consolidated_hash=(0, 0, 0, 0),
-        contract_code=contract_code,
-        block_metadata=md,
-        block_hashes=BlockHashes())
-
-
-def build_add11_inputs():
-    """The `add11_yml` ethereum-tests case: a txn calling a contract
-    that computes 1+1 and SSTOREs it — exercises user-mode execution,
-    syscalls, jumpdest analysis, and the account_code oracle
-    (/root/reference/evm_arithmetization/tests/add11_yml.rs:30-201)."""
-    beneficiary = bytes.fromhex("2adc25665018aa1fe0e6bc666dac8fc2697ff9ba")
-    sender = bytes.fromhex("a94f5374fce5edbc8e2a8697c15331677e6ebf0b")
-    to = bytes.fromhex("095e7baea6a6c7c4c2dfeb977efac326af552d87")
-    code = bytes([0x60, 0x01, 0x60, 0x01, 0x01, 0x60, 0x00, 0x55, 0x00])
-    code_hash = keccak256(code)
-    txn = bytes.fromhex(
-        "f863800a83061a8094095e7baea6a6c7c4c2dfeb977efac326af552d87830186"
-        "a0801ba0ffb600e63115a7362e7811894a91d8ba4330e526f22121c994c46920"
-        "35dfdfd5a06198379fcac8de3dbfac48b165df4bf88e2088f294b61efb9a65fe"
-        "2281c76e16")
-
-    bk, sk, tk = (keccak256(a) for a in (beneficiary, sender, to))
-    state_before, storage_tries = tf.preinitialized_state_and_storage_tries()
-    beacon_storage = Trie()
-    bal = 0x0DE0B6B3A7640000
-    state_before.insert(Nibbles.from_bytes(bk), Account(nonce=1).rlp())
-    state_before.insert(Nibbles.from_bytes(sk),
-                        Account(balance=bal).rlp())
-    state_before.insert(Nibbles.from_bytes(tk),
-                        Account(balance=bal, code_hash=code_hash).rlp())
-    storage_tries[tk] = Trie()
-
-    md = BlockMetadata(
-        block_beneficiary=int.from_bytes(beneficiary, "big"),
-        block_timestamp=0x03E8, block_number=1,
-        block_difficulty=0x020000,
-        block_random=(0x020000).to_bytes(32, "big"),
-        block_gaslimit=0xFF112233, block_chain_id=1, block_base_fee=0xA,
-        block_gas_used=0xA868)
-
-    contract_code = {keccak256(b""): b"", code_hash: code}
-
-    tf.update_beacon_roots_account_storage(
-        beacon_storage, md.block_timestamp, md.parent_beacon_block_root)
-    beacon_after = tf.beacon_roots_contract_from_storage(beacon_storage)
-    storage_after = Trie()
-    tf.insert_storage(storage_after, 0, 2)
-    state_after = Trie()
-    state_after.insert(Nibbles.from_bytes(bk), Account(nonce=1).rlp())
-    state_after.insert(Nibbles.from_bytes(sk),
-                       Account(nonce=1, balance=0x0DE0B6B3A75BE550).rlp())
-    state_after.insert(
-        Nibbles.from_bytes(tk),
-        Account(balance=0x0DE0B6B3A76586A0, code_hash=code_hash,
-                storage_root=storage_after.root_hash()).rlp())
-    state_after.insert(tf.beacon_roots_account_nibbles(),
-                       beacon_after.rlp())
-
-    receipt_0 = rlp_encode([1, 0xA868, b"\x00" * 256, []])
-    receipts = Trie()
-    receipts.insert(Nibbles([8, 0]), receipt_0)
-    transactions = Trie()
-    transactions.insert(Nibbles([8, 0]), txn)
-
-    roots_after = TrieRoots(state_root=state_after.root_hash(),
-                            transactions_root=transactions.root_hash(),
-                            receipts_root=receipts.root_hash())
-    tries = TrieInputs(state=state_before, storage=storage_tries,
-                       transactions=Trie(), receipts=Trie())
-    return GenerationInputs(
-        txn_number_before=0, gas_used_before=0, gas_used_after=0xA868,
-        signed_txns=[txn], withdrawals=[], tries=tries,
-        trie_roots_after=roots_after,
-        checkpoint_state_trie_root=state_before.root_hash(),
-        checkpoint_consolidated_hash=(0, 0, 0, 0),
-        contract_code=contract_code, block_metadata=md,
-        block_hashes=BlockHashes())
+from zk_evm_tpu.witness.testing_fixtures import (build_simple_transfer_inputs,
+                                                 build_add11_inputs)
 
 
 def test_add11_witness_generation():

@@ -6,7 +6,10 @@ Subcommands land as the pipeline widens; today:
 
   decode  <witness.json> [--batch-size N]   block trace -> trie roots,
           per-batch GenerationInputs summary (leader's decode stage)
-  verify  <proof.json>                      check a persisted proof
+  prove   --fixture simple-transfer|add11 | --witness w.json [-o out]
+          full pipeline: witness run -> 9 tables -> AllProof JSON
+  verify  <proof.zkproof>                   verify a persisted AllProof
+          against the canonical kernel (cap binding + CTL sums + PV)
   bench                                     run the standard benchmark
 """
 
@@ -45,16 +48,93 @@ def cmd_decode(args):
     return 0
 
 
+def cmd_prove(args):
+    """Prove a block segment: witness generation (interpreter run ->
+    9 tables) then the multi-table STARK proof, persisted as JSON."""
+    from .witness.assembler import combined_kernel
+    from .witness.interpreter import run_generation
+    from .witness.traces import generate_all_tables
+    from .witness.testing_fixtures import FIXTURES
+    from .orchestration.block import prove_block, verify_block
+    from .stark.serialization import proof_to_json
+
+    if args.fixture:
+        inputs = FIXTURES[args.fixture]()
+    else:
+        from .decoder import parse_block_prover_input, entrypoint
+        obj = json.load(open(args.witness))
+        bpi = parse_block_prover_input(obj[0] if isinstance(obj, list)
+                                       else obj)
+        gis = entrypoint(bpi, batch_size_hint=args.batch_size)
+        if len(gis) != 1:
+            print(f"prove: {len(gis)} batches; proving batch 0 only",
+                  file=sys.stderr)
+        inputs = gis[0]
+
+    from .timing import TimingTree
+    with TimingTree("prove block") as tree:
+        with tree.scope("assemble kernel"):
+            kernel = combined_kernel()
+        if args.max_cpu_len_log:
+            from .witness.segments import generate_segment_tables
+            from .orchestration.block import verify_segments
+            proofs = []
+            cycles = 0
+            for seg, gt in generate_segment_tables(
+                    kernel, inputs, max_cpu_len_log=args.max_cpu_len_log):
+                with tree.scope(f"prove segment {seg.index}"):
+                    proofs.append(prove_block(gt))
+                cycles += gt.traces[2].shape[1]
+            with tree.scope("verify chain (self-check)"):
+                verify_segments(proofs, kernel)
+            payload = json.dumps(
+                [json.loads(proof_to_json(p)) for p in proofs])
+        else:
+            with tree.scope("simulate CPU"):
+                interp = run_generation(kernel, inputs)
+            with tree.scope("generate tables"):
+                gt = generate_all_tables(interp)
+            with tree.scope("prove"):
+                proofs = [prove_block(gt)]
+            with tree.scope("verify (self-check)"):
+                verify_block(proofs[0], kernel)
+            cycles = len(interp.trace)
+            payload = proof_to_json(proofs[0])
+    tree.print()
+    with open(args.output, "w") as f:
+        f.write(payload)
+    print(json.dumps({
+        "proof": args.output,
+        "segments": len(proofs),
+        "cycles": cycles,
+        "state_root_after":
+            "0x" + bytes(proofs[-1].public_values.trie_roots_after
+                         .state_root).hex(),
+    }))
+    return 0
+
+
 def cmd_verify(args):
-    from .challenger import Challenger
-    from .stark import verify_stark
-    from .stark.config import StarkConfig
-    from .stark.serialization import stark_proof_from_json
-    del args  # single-proof verification arrives with the CPU pipeline
-    print("verify: wired for single-table proofs via "
-          "zk_evm_tpu.stark.verify_stark; block proofs land with "
-          "witness recording", file=sys.stderr)
-    return 2
+    from .orchestration.block import verify_block, verify_segments
+    from .stark.serialization import all_proof_from_json
+    from .witness.assembler import combined_kernel
+
+    raw = open(args.proof).read()
+    obj = json.loads(raw)
+    kernel = combined_kernel()
+    try:
+        if isinstance(obj, list):
+            proofs = [all_proof_from_json(json.dumps(p)) for p in obj]
+            verify_segments(proofs, kernel)
+            n = len(proofs)
+        else:
+            verify_block(all_proof_from_json(raw), kernel)
+            n = 1
+    except AssertionError as e:
+        print(f"verify: FAILED: {e}", file=sys.stderr)
+        return 1
+    print(json.dumps({"ok": True, "proof": args.proof, "segments": n}))
+    return 0
 
 
 def cmd_bench(args):
@@ -73,6 +153,17 @@ def main(argv=None):
     d.add_argument("witness")
     d.add_argument("--batch-size", type=int, default=10)
     d.set_defaults(fn=cmd_decode)
+    pr = sub.add_parser("prove", help="prove a block segment")
+    src = pr.add_mutually_exclusive_group(required=True)
+    src.add_argument("--witness", help="decoder witness JSON")
+    src.add_argument("--fixture", choices=("simple-transfer", "add11"),
+                     help="built-in test block")
+    pr.add_argument("-o", "--output", default="block.zkproof")
+    pr.add_argument("--batch-size", type=int, default=10)
+    pr.add_argument("--max-cpu-len-log", type=int, default=0,
+                    help="segment the proof at 2^N CPU rows "
+                         "(zk-continuations)")
+    pr.set_defaults(fn=cmd_prove)
     v = sub.add_parser("verify", help="verify a proof file")
     v.add_argument("proof")
     v.set_defaults(fn=cmd_verify)

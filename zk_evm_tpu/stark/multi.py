@@ -33,6 +33,7 @@ class AllProof:
     proofs: list[StarkProof | None]      # None = table unused (skipped)
     table_in_use: list[bool]
     public_inputs: list[int] = field(default_factory=list)
+    public_values: object | None = None  # PublicValues (block proofs)
 
 
 def _zero_cap(config: StarkConfig) -> list[list[int]]:
@@ -47,12 +48,21 @@ def observe_global(challenger: Challenger, caps, public_inputs) -> None:
 
 def prove_all(starks: list[Stark], traces: list[np.ndarray | None],
               ctls: list[lookup.CrossTableLookup], config: StarkConfig,
-              public_inputs: list[int] | None = None) -> AllProof:
+              public_inputs: list[int] | None = None,
+              public_values=None) -> AllProof:
     """Prove every in-use table under one transcript. traces[i] may be
-    None for unused optional tables (zero-cap observed, no proof)."""
+    None for unused optional tables (zero-cap observed, no proof).
+    `public_values` (a PublicValues) takes the place of raw
+    public_inputs for block proofs: its Appendix-A encoding is what the
+    transcript observes (get_challenges.rs:202-227)."""
+    if public_values is not None:
+        assert public_inputs is None, \
+            "pass public_values OR raw public_inputs, not both"
+        public_inputs = public_values.to_elements()
     public_inputs = public_inputs or []
     table_in_use = [t is not None for t in traces]
 
+    from ..timing import timed
     challenger = Challenger()
     batches: list[PolynomialBatch | None] = []
     caps = []
@@ -61,9 +71,10 @@ def prove_all(starks: list[Stark], traces: list[np.ndarray | None],
             batches.append(None)
             caps.append(_zero_cap(config))
             continue
-        b = PolynomialBatch.from_values(
-            GF.from_u64(trace), rate_bits=config.rate_bits,
-            cap_height=config.cap_height)
+        with timed(f"commit {stark.name} trace"):
+            b = PolynomialBatch.from_values(
+                GF.from_u64(trace), rate_bits=config.rate_bits,
+                cap_height=config.cap_height)
         batches.append(b)
         caps.append(b.cap_ints())
     observe_global(challenger, caps, public_inputs)
@@ -75,27 +86,36 @@ def prove_all(starks: list[Stark], traces: list[np.ndarray | None],
             proofs.append(None)
             continue
         groups = lookup.ctl_groups_for_table(ctls, t)
-        proofs.append(prove_stark(
-            stark, trace, config, challenger,
-            challenges=challenges, ctl_groups=groups,
-            observe_trace_cap=False, trace_batch=batches[t]))
+        with timed(f"prove {stark.name} {trace.shape}"):
+            proofs.append(prove_stark(
+                stark, trace, config, challenger,
+                challenges=challenges, ctl_groups=groups,
+                observe_trace_cap=False, trace_batch=batches[t]))
     return AllProof(proofs=proofs, table_in_use=table_in_use,
-                    public_inputs=list(public_inputs))
+                    public_inputs=list(public_inputs),
+                    public_values=public_values)
 
 
 def verify_all(starks: list[Stark], all_proof: AllProof,
                ctls: list[lookup.CrossTableLookup], config: StarkConfig,
                extra_looking_sums: dict[int, list[int]] | None = None,
+               extra_looking_values: dict[int, list] | None = None,
                optional_tables: tuple[int, ...] = ()) -> None:
     """Verify every table proof under the replayed transcript, then check
     every CTL's global sum: sum of looking totals (+ extra looking sums,
     keyed by CTL index, one value per challenge) == looked total.
 
+    `extra_looking_values` maps a CTL index to raw value rows the
+    VERIFIER contributes (e.g. the memory table's public-value writes,
+    verifier.rs:319-512); their logUp sums are computed here under the
+    derived challenges — callers cannot inject arbitrary sums.
+    `extra_looking_sums` remains for lower-level harnesses.
+
     `optional_tables` are the only table indices allowed to omit a proof
     (the reference's OPTIONAL_TABLE_INDICES, all_stark.rs:110-126);
     every other table MUST carry one — otherwise an all-None AllProof
     with degenerate 0==0 CTL sums verifies (ADVICE r1 high)."""
-    extra_looking_sums = extra_looking_sums or {}
+    extra_looking_sums = dict(extra_looking_sums or {})
     assert len(all_proof.proofs) == len(starks), "proof count mismatch"
     assert len(all_proof.table_in_use) == len(starks)
     for t, proof in enumerate(all_proof.proofs):
@@ -108,6 +128,22 @@ def verify_all(starks: list[Stark], all_proof: AllProof,
             for p in all_proof.proofs]
     observe_global(challenger, caps, all_proof.public_inputs)
     challenges = lookup.get_challenge_set(challenger, config.num_challenges)
+
+    for ci, rows in (extra_looking_values or {}).items():
+        sums = []
+        for beta, gamma in challenges.pairs:
+            s = 0
+            for row in rows:
+                combined = 0
+                gp = 1
+                for v in row:
+                    combined = host.fadd(combined,
+                                         host.fmul(int(v) % host.P, gp))
+                    gp = host.fmul(gp, gamma)
+                s = host.fadd(s, host.finv(host.fadd(beta, combined)))
+            sums.append(s)
+        assert ci not in extra_looking_sums
+        extra_looking_sums[ci] = sums
 
     for t, (stark, proof) in enumerate(zip(starks, all_proof.proofs)):
         if proof is None:

@@ -21,6 +21,7 @@ from .poly_batch import PolynomialBatch
 from .stark import Stark, StarkFrame, ConstraintConsumer
 from .proof import StarkProof, StarkOpeningSet
 from . import domains, fri, lookup
+from ..timing import timed
 
 
 def _quotient_chunks(stark: Stark, trace_batch: PolynomialBatch,
@@ -69,16 +70,31 @@ def _quotient_chunks(stark: Stark, trace_batch: PolynomialBatch,
     return coeffs.reshape(len(alphas) << rate_bits, n)
 
 
+def shard_rows(x: GF, mesh) -> GF:
+    """Lay a (polys, n) batch out with the evaluation axis sharded over
+    the mesh; every jitted stage downstream compiles SPMD and XLA
+    inserts the NTT/transpose collectives. Proof bytes are unchanged —
+    the math is exact and the tree order fixed (SURVEY §2.9 P1)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+    sh = NamedSharding(mesh, PartitionSpec(None, mesh.axis_names[0]))
+    return jax.device_put(x, sh)
+
+
 def prove_stark(stark: Stark, trace: np.ndarray, config: StarkConfig,
                 challenger: Challenger,
                 public_inputs: list[int] | None = None,
                 challenges: lookup.ChallengeSet | None = None,
                 ctl_groups=None,
                 observe_trace_cap: bool = True,
-                trace_batch: PolynomialBatch | None = None) -> StarkProof:
+                trace_batch: PolynomialBatch | None = None,
+                mesh=None) -> StarkProof:
     """Prove one table. In multi-table mode (AllStark) the caller commits
     the trace, observes every cap globally, draws the shared CTL challenge
-    set, and passes challenges/ctl_views/trace_batch in."""
+    set, and passes challenges/ctl_views/trace_batch in.
+
+    `mesh`: a jax.sharding.Mesh to shard the proof computation over
+    (rows axis); the resulting proof is bit-identical to single-device."""
     public_inputs = public_inputs or []
     groups = list(ctl_groups or [])
     lookups = stark.lookups()
@@ -89,10 +105,13 @@ def prove_stark(stark: Stark, trace: np.ndarray, config: StarkConfig,
     fri_cfg = config.fri_config
 
     trace_gf = GF.from_u64(trace)
+    if mesh is not None:
+        trace_gf = shard_rows(trace_gf, mesh)
     if trace_batch is None:
-        trace_batch = PolynomialBatch.from_values(
-            trace_gf, rate_bits=config.rate_bits,
-            cap_height=config.cap_height)
+        with timed("commit trace"):
+            trace_batch = PolynomialBatch.from_values(
+                trace_gf, rate_bits=config.rate_bits,
+                cap_height=config.cap_height)
     trace_cap = trace_batch.cap_ints()
 
     init_state = challenger.compact()
@@ -109,30 +128,38 @@ def prove_stark(stark: Stark, trace: np.ndarray, config: StarkConfig,
         if challenges is None:
             challenges = lookup.get_challenge_set(
                 challenger, config.num_challenges)
-        aux_gf = lookup.generate_aux_trace(trace_gf, lookups, groups,
-                                           challenges)
-        aux_batch = PolynomialBatch.from_values(
-            aux_gf, rate_bits=config.rate_bits,
-            cap_height=config.cap_height)
-        aux_cap = aux_batch.cap_ints()
+        with timed("generate aux columns"):
+            aux_gf = lookup.generate_aux_trace(trace_gf, lookups, groups,
+                                               challenges)
+        if mesh is not None:
+            aux_gf = shard_rows(aux_gf, mesh)
+        with timed("commit aux"):
+            aux_batch = PolynomialBatch.from_values(
+                aux_gf, rate_bits=config.rate_bits,
+                cap_height=config.cap_height)
+            aux_cap = aux_batch.cap_ints()
         challenger.observe_cap(aux_cap)
 
     # 2. constraint-folding challenges + quotient commitment
     alphas = challenger.get_n_challenges(config.num_challenges)
-    chunks = _quotient_chunks(stark, trace_batch, aux_batch, lookups,
-                              groups, challenges, alphas, config,
-                              public_inputs)
-    quotient_batch = PolynomialBatch.from_coeffs(
-        chunks, rate_bits=config.rate_bits, cap_height=config.cap_height)
-    quotient_cap = quotient_batch.cap_ints()
+    with timed("evaluate quotient"):
+        chunks = _quotient_chunks(stark, trace_batch, aux_batch, lookups,
+                                  groups, challenges, alphas, config,
+                                  public_inputs)
+    with timed("commit quotient"):
+        quotient_batch = PolynomialBatch.from_coeffs(
+            chunks, rate_bits=config.rate_bits,
+            cap_height=config.cap_height)
+        quotient_cap = quotient_batch.cap_ints()
     challenger.observe_cap(quotient_cap)
 
     # 3. openings at zeta / zeta*g (and x=1 for CTL running sums)
     zeta = challenger.get_extension_challenge()
     g = host.primitive_root_of_unity(degree_bits)
     zeta_next = host.emul(zeta, (g, 0))
-    t_open = trace_batch.open_at([zeta, zeta_next])
-    q_open = quotient_batch.open_at([zeta])
+    with timed("openings"):
+        t_open = trace_batch.open_at([zeta, zeta_next])
+        q_open = quotient_batch.open_at([zeta])
     aux_local_open, aux_next_open, ctl_zs_first = [], [], []
     z_idxs: list[int] = []
     if aux_batch is not None:
@@ -182,8 +209,9 @@ def prove_stark(stark: Stark, trace: np.ndarray, config: StarkConfig,
             point=(1, 0),
             entries=[(aidx, i) for i in z_idxs],
             values=[(v, 0) for v in openings.ctl_zs_first]))
-    fri_proof = fri.prove_fri(oracles, batches, alpha, degree_bits,
-                              challenger, fri_cfg)
+    with timed("FRI"):
+        fri_proof = fri.prove_fri(oracles, batches, alpha, degree_bits,
+                                  challenger, fri_cfg)
 
     return StarkProof(degree_bits=degree_bits, trace_cap=trace_cap,
                       aux_cap=aux_cap, quotient_cap=quotient_cap,

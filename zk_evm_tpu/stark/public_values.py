@@ -236,3 +236,60 @@ def memory_extra_looking_sum(pv: PublicValues, kernel_hash: int,
             gp = host.fmul(gp, gamma)
         total = host.fadd(total, host.finv(host.fadd(combined, beta)))
     return total
+
+
+# ---------------------------------------------------------------------------
+# JSON persistence (proofs ship as JSON files, zero/src/fs.rs:8-12)
+# ---------------------------------------------------------------------------
+
+def _enc(v):
+    if isinstance(v, (bytes, bytearray)):
+        return "0x" + bytes(v).hex()
+    if isinstance(v, tuple):
+        return [_enc(x) for x in v]
+    return v
+
+
+def _dec(v):
+    if isinstance(v, str) and v.startswith("0x"):
+        return bytes.fromhex(v[2:])
+    if isinstance(v, list):
+        return tuple(_dec(x) for x in v)
+    return v
+
+
+def _dataclass_dict(obj):
+    import dataclasses
+    return {f.name: _enc(getattr(obj, f.name))
+            for f in dataclasses.fields(obj)}
+
+
+def _dataclass_from(cls, d):
+    return cls(**{k: _dec(v) for k, v in d.items()})
+
+
+def public_values_to_dict(pv: PublicValues) -> dict:
+    return {
+        "trie_roots_before": _dataclass_dict(pv.trie_roots_before),
+        "trie_roots_after": _dataclass_dict(pv.trie_roots_after),
+        "block_metadata": _dataclass_dict(pv.block_metadata),
+        "block_hashes": _dataclass_dict(pv.block_hashes),
+        "extra_block_data": _dataclass_dict(pv.extra_block_data),
+        "registers_before": _dataclass_dict(pv.registers_before),
+        "registers_after": _dataclass_dict(pv.registers_after),
+    }
+
+
+def public_values_from_dict(d: dict) -> PublicValues:
+    return PublicValues(
+        trie_roots_before=_dataclass_from(TrieRoots,
+                                          d["trie_roots_before"]),
+        trie_roots_after=_dataclass_from(TrieRoots, d["trie_roots_after"]),
+        block_metadata=_dataclass_from(BlockMetadata, d["block_metadata"]),
+        block_hashes=_dataclass_from(BlockHashes, d["block_hashes"]),
+        extra_block_data=_dataclass_from(ExtraBlockData,
+                                         d["extra_block_data"]),
+        registers_before=_dataclass_from(RegistersData,
+                                         d["registers_before"]),
+        registers_after=_dataclass_from(RegistersData,
+                                        d["registers_after"]))

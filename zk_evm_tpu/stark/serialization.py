@@ -15,6 +15,13 @@ from .multi import AllProof
 
 
 def proof_to_json(proof) -> str:
+    if isinstance(proof, AllProof):
+        from .public_values import public_values_to_dict
+        d = dataclasses.asdict(
+            dataclasses.replace(proof, public_values=None))
+        if proof.public_values is not None:
+            d["public_values"] = public_values_to_dict(proof.public_values)
+        return json.dumps(d)
     return json.dumps(dataclasses.asdict(proof))
 
 
@@ -64,8 +71,13 @@ def stark_proof_from_json(s: str) -> StarkProof:
 
 def all_proof_from_json(s: str) -> AllProof:
     d = json.loads(s)
+    pv = None
+    if d.get("public_values") is not None:
+        from .public_values import public_values_from_dict
+        pv = public_values_from_dict(d["public_values"])
     return AllProof(
         proofs=[stark_proof_from_dict(p) if p is not None else None
                 for p in d["proofs"]],
         table_in_use=list(d["table_in_use"]),
-        public_inputs=list(d["public_inputs"]))
+        public_inputs=list(d["public_inputs"]),
+        public_values=pv)

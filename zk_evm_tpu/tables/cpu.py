@@ -558,6 +558,15 @@ def cpu_rows_from_run(interp, n_rows=None):
     return trace, stark
 
 
+def cpu_stark_for_kernel(kernel) -> "CpuStark":
+    """The CpuStark a VERIFIER constructs from the kernel identity alone
+    (a full generation run starts at `init` and ends at `halt`)."""
+    gl = kernel.global_labels
+    return CpuStark(start_pc=gl["init"], halt_pc=gl["halt"],
+                    syscall_jumptable=gl.get("syscall_jumptable", 0),
+                    exception_jumptable=gl.get("exception_jumptable", 0))
+
+
 class CpuStark(Stark):
     """CPU table; start_pc/halt_pc are the kernel's `init` and
     `halt_final` label offsets (control_flow.rs:27-38)."""

@@ -39,6 +39,18 @@ def generate_trace(propagated_values) -> np.ndarray:
     return trace
 
 
+def kernel_initial_memory_values(code: bytes):
+    """The exact MemBefore content of a first segment: every kernel code
+    byte (zeros included) then the 256-entry shift table — the verifier
+    recomputes this trace's Merkle cap from the kernel identity alone
+    (verifier.rs:14-79 initial_memory_merkle_cap)."""
+    from .segments import Segment
+    values = [((0, int(Segment.Code), i), b) for i, b in enumerate(code)]
+    values += [((0, int(Segment.ShiftTable), i), 1 << i)
+               for i in range(256)]
+    return values
+
+
 def ctl_data():
     """(ctx, seg, virt, 8 value limbs) — looked by Memory."""
     return (col(ADDR_CONTEXT), col(ADDR_SEGMENT), col(ADDR_VIRTUAL)) \

@@ -108,6 +108,11 @@ class MemoryState:
                 return v
         p = self.preinit.get(seg)
         if p is not None and 0 <= virt < len(p):
+            # Materialize the fallback hit: a touched preinitialized
+            # address appears in the segment's MemAfter table rows, so
+            # it must also appear in the next segment's MemBefore —
+            # `data` is what active_values() snapshots.
+            self.set(ctx, seg, virt, p[virt])
             return p[virt]
         return 0
 
@@ -146,12 +151,36 @@ class MemoryState:
 
     def preinit_view(self, seg) -> list[int]:
         """Merged preinit + context-0 content (get_preinit_memory,
-        memory.rs:211-224)."""
+        memory.rs:211-224). Read-only: does NOT materialize."""
         d = self.data.get((0, seg), {})
-        length = len(self.preinit.get(seg, ()))
-        if d:
-            length = max(length, max(d.keys()) + 1)
-        return [self.get(0, seg, i) for i in range(length)]
+        p = self.preinit.get(seg, [])
+        length = max(len(p), max(d.keys()) + 1 if d else 0)
+        return [d.get(i, p[i] if i < len(p) else 0)
+                for i in range(length)]
+
+    def active_values(self, stale_contexts=()):
+        """(address, value) pairs of the live memory — non-stale
+        contexts, zeros kept only in the memory table's initialization-
+        exempt segments — exactly the rows the Memory table exports as
+        MemAfter (generation/mod.rs:466-488 + memory_stark.rs:270-280),
+        so it chains as the next segment's MemBefore."""
+        from ..tables.segments import PREINITIALIZED_SEGMENTS
+        stale = set(stale_contexts)
+        out = []
+        for (ctx, seg), d in sorted(self.data.items()):
+            if ctx in stale:
+                continue
+            keep_zeros = seg in PREINITIALIZED_SEGMENTS
+            for virt in sorted(d):
+                if d[virt] or keep_zeros:
+                    out.append(((ctx, seg, virt), d[virt]))
+        return out
+
+    def deep_copy(self) -> "MemoryState":
+        m = MemoryState()
+        m.data = {k: dict(v) for k, v in self.data.items()}
+        m.preinit = {k: list(v) for k, v in self.preinit.items()}
+        return m
 
 
 class SortedPtrs:
@@ -262,6 +291,12 @@ class Interpreter:
         self._final_registers = None
         self._final_exception_done = False
         self._last_kind = None
+        # zk-continuations: stop the segment (via the exc_stop flow) once
+        # clock reaches this bound (state.rs run_cpu cycle_limit)
+        self.cycle_limit = None
+        # registers claimed at segment start (PublicValues.registers_before)
+        self.segment_registers_before = None
+        self.segment_registers_before_vals = None
 
         # ---- GenerationState fields (state.rs:350-399) ------------------
         self.inputs = None
@@ -290,29 +325,36 @@ class Interpreter:
         self.bp_log = []        # (step, is_read, (ctx,seg,virt), bytes)
         self.metadata_ops = []  # (segment, virt, value) ts=2 writes
 
-        # preload kernel code into context 0's Code segment
+        # preload kernel code into context 0's Code segment (zero bytes
+        # included: they are part of MemBefore and must round-trip
+        # through active_values -> next segment's MemBefore)
         for i, b in enumerate(kernel.code):
-            if b:
-                self.memory.set(0, Segment.Code, i, b)
+            self.memory.set(0, Segment.Code, i, b)
         self.code = kernel.code
         # shift table: ShiftTable[i] = 2^i (the CPU shift module reads it
         # through channel 2; generation/mod.rs:447-461 puts it in memory
         # before execution so it lands in MemBefore)
         for i in range(256):
             self.memory.set(0, Segment.ShiftTable, i, 1 << i)
-        # RlpRaw[0] = 0x80 (interpreter.rs:499-503)
-        self.memory.set(0, Segment.RlpRaw, 0, 0x80)
         for v in initial_stack:
             self.push(v)
-        # MemBefore content (re-snapshot in initialize_from_inputs once
-        # the preinitialized trie segments are loaded)
-        self.mem_before_values = self.memory.snapshot_all()
+        # MemBefore is exactly kernel code + shift table: the verifier
+        # recomputes this trace's cap from the kernel identity
+        # (verifier.rs:14-79); preinitialized trie segments are covered
+        # by the Memory table's initialize_aux exemption instead.
+        from ..tables.memory_continuation import kernel_initial_memory_values
+        self.mem_before_values = kernel_initial_memory_values(kernel.code)
 
     # ------------------------------------------------------------------
     # GenerationInputs initialization (interpreter.rs:225-400)
     # ------------------------------------------------------------------
-    def initialize_from_inputs(self, inputs) -> None:
-        """`inputs` is a decoder GenerationInputs (decoder/core.py)."""
+    def initialize_from_inputs(self, inputs, segment=None) -> None:
+        """`inputs` is a decoder GenerationInputs (decoder/core.py).
+
+        `segment` (a witness.segments.SegmentData) resumes a later
+        segment instead: memory and oracle state are restored from the
+        pre-run's snapshot rather than rebuilt from the tries
+        (generate_traces, generation/mod.rs:503-530)."""
         from . import mpt_load
         from .rlp_inputs import (all_rlp_prover_inputs_reversed,
                                  all_withdrawals_prover_inputs_reversed)
@@ -320,28 +362,36 @@ class Interpreter:
         self.registers = Registers(
             program_counter=self.registers.program_counter,
             is_kernel=self.registers.is_kernel)
-
-        (root_ptrs, state_leaves, storage_leaves, trie_data,
-         accounts_ptrs, storage_ptrs) = \
-            mpt_load.load_linked_lists_and_txn_and_receipt_mpts(
-                _TrieInputsView(inputs.tries))
-        self.trie_root_ptrs = root_ptrs
-        for k, v in accounts_ptrs.items():
-            self.state_ptrs["accounts"].insert(k, v)
-        for k, v in storage_ptrs.items():
-            self.state_ptrs["storage"].insert(k, v)
         mem = self.memory
-        mem.insert_preinitialized_segment(Segment.TrieData, trie_data)
-        mem.insert_preinitialized_segment(Segment.AccountsLinkedList,
-                                          state_leaves)
-        mem.insert_preinitialized_segment(Segment.StorageLinkedList,
-                                          storage_leaves)
 
-        self.rlp_prover_inputs = \
-            all_rlp_prover_inputs_reversed(inputs.signed_txns)
-        self.withdrawal_prover_inputs = \
-            all_withdrawals_prover_inputs_reversed(inputs.withdrawals)
-        self.ger_prover_inputs = [U256_MAX]
+        if segment is not None:
+            self.memory = mem = segment.memory.deep_copy()
+            assert segment.mem_before_values is not None, \
+                "segment MemBefore not chained yet (generate_segment_" \
+                "tables chains it from the previous segment's mem_after)"
+            self.mem_before_values = list(segment.mem_before_values)
+            self.restore_extra(segment.extra)
+        else:
+            (root_ptrs, state_leaves, storage_leaves, trie_data,
+             accounts_ptrs, storage_ptrs) = \
+                mpt_load.load_linked_lists_and_txn_and_receipt_mpts(
+                    _TrieInputsView(inputs.tries))
+            self.trie_root_ptrs = root_ptrs
+            for k, v in accounts_ptrs.items():
+                self.state_ptrs["accounts"].insert(k, v)
+            for k, v in storage_ptrs.items():
+                self.state_ptrs["storage"].insert(k, v)
+            mem.insert_preinitialized_segment(Segment.TrieData, trie_data)
+            mem.insert_preinitialized_segment(Segment.AccountsLinkedList,
+                                              state_leaves)
+            mem.insert_preinitialized_segment(Segment.StorageLinkedList,
+                                              storage_leaves)
+
+            self.rlp_prover_inputs = \
+                all_rlp_prover_inputs_reversed(inputs.signed_txns)
+            self.withdrawal_prover_inputs = \
+                all_withdrawals_prover_inputs_reversed(inputs.withdrawals)
+            self.ger_prover_inputs = [U256_MAX]
         self.contract_code = dict(inputs.contract_code)
 
         md = inputs.block_metadata
@@ -350,11 +400,6 @@ class Interpreter:
         def h2u(h):
             return int.from_bytes(h, "big") if isinstance(
                 h, (bytes, bytearray)) else int(h)
-
-        # MemBefore snapshot: memory content before the timestamp-2
-        # metadata writes below (generation/mod.rs:506-509 computes
-        # actual_mem_before before apply_metadata_and_tries_memops)
-        self.mem_before_values = mem.snapshot_all()
 
         gm_writes = [
             ("BLOCK_BENEFICIARY", int(md.block_beneficiary)),
@@ -402,11 +447,8 @@ class Interpreter:
             mem.set(0, Segment.BlockHashes, i, h2u(bh.prev_hashes[i]))
             self.metadata_ops.append((Segment.BlockHashes, i,
                                       h2u(bh.prev_hashes[i])))
-        # registers_before = RegistersState::new(): pc=main, kernel=1
-        main_pc = self.kernel.global_labels["main"]
-        for i, v in enumerate([main_pc, 1, 0, 0, 0, 0]):
-            mem.set(0, Segment.RegistersStates, i, v)
-            self.metadata_ops.append((Segment.RegistersStates, i, v))
+        # registers_before are written by run_segment (RegistersStates
+        # [0..6]); the first segment's default is pc=main, kernel=1.
 
     # -- stack ----------------------------------------------------------
     def push(self, v):
@@ -448,31 +490,68 @@ class Interpreter:
         r = self.registers
         for _ in range(self.max_cycles):
             pc = r.program_counter
-            if r.is_kernel:
-                if (not self._final_exception_done and pc == self.halt_label
-                        and self.halt_label is not None):
-                    # Reached `halt`: record final registers, write them
-                    # to RegistersStates[6..12] (interpreter.rs:647), and
-                    # run the exc_stop epilogue (state.rs:210-222).
-                    self._final_registers = replace(r)
-                    self._write_final_registers(self._final_registers)
-                    self._final_exception_done = True
-                    if self.record_trace:
+            at_halt = (r.is_kernel and self.halt_label is not None
+                       and pc == self.halt_label)
+            at_limit = (self.cycle_limit is not None
+                        and self.clock >= self.cycle_limit)
+            if not self._final_exception_done and (at_halt or at_limit):
+                # Reached `halt` (or the segment's cycle budget): record
+                # final registers, write them to RegistersStates[6..12]
+                # (interpreter.rs:647), and run the exc_stop epilogue
+                # (state.rs:210-223 final_exception).
+                self._final_registers = replace(r)
+                self._write_final_registers(self._final_registers)
+                self._final_exception_done = True
+                if self.record_trace:
+                    code_ctx = r.code_context()
+                    if code_ctx == 0 and r.is_kernel:
                         opc = self.code[pc] if pc < len(self.code) else 0
-                        self.trace.append(
-                            [pc, opc, r.is_kernel, r.context,
-                             tuple(self.stack()), r.gas_used,
-                             ("exception", EXC_STOP)])
-                    self.exception(EXC_STOP)
-                    self.clock += 1
-                    continue
-                if pc in self.halt_offsets:
-                    if (self.halt_context is None
-                            or r.context == self.halt_context):
-                        return self
+                    else:
+                        opc = self.memory.get(code_ctx, Segment.Code,
+                                              pc) & 0xFF
+                    self.trace.append(
+                        [pc, opc, r.is_kernel, r.context,
+                         tuple(self.stack()), r.gas_used,
+                         ("exception", EXC_STOP)])
+                self.exception(EXC_STOP)
+                self.clock += 1
+                continue
+            if r.is_kernel and pc in self.halt_offsets:
+                if (self.halt_context is None
+                        or r.context == self.halt_context):
+                    return self
             self.step()
             self.clock += 1
         raise RuntimeError("interpreter exceeded max_cycles")
+
+    def run_segment(self, registers_before, cycle_limit=None):
+        """Start (or resume) a segment: registers := registers_before
+        with pc redirected to `init` (whose prologue restores and checks
+        them, main.asm:1-62), RegistersStates[0..6] written, clock reset
+        (interpreter.rs set_registers_and_run:125-153)."""
+        self.segment_registers_before = replace(registers_before)
+        self.registers = replace(registers_before,
+                                 program_counter=self
+                                 .kernel.global_labels["init"],
+                                 is_kernel=True)
+        self.clock = 0
+        self._final_registers = None
+        self._final_exception_done = False
+        self.cycle_limit = cycle_limit
+        self._write_registers_before(registers_before)
+        return self.run()
+
+    def _write_registers_before(self, regs):
+        stack_top = 0
+        if regs.stack_len > 0:
+            stack_top = self.memory.get(regs.context, Segment.Stack,
+                                        regs.stack_len - 1)
+        vals = [regs.program_counter, int(regs.is_kernel), regs.stack_len,
+                stack_top, regs.context, regs.gas_used]
+        self.segment_registers_before_vals = list(vals)
+        for i, v in enumerate(vals):
+            self.memory.set(0, Segment.RegistersStates, i, v)
+            self.metadata_ops.append((Segment.RegistersStates, i, v))
 
     @property
     def final_registers(self):
@@ -1150,6 +1229,43 @@ class Interpreter:
                 table[ctx] = []
         self.jumpdest_table = table
 
+    def capture_extra(self) -> dict:
+        """Oracle/bookkeeping state a later segment resumes from (the
+        reference's ExtraSegmentData, segments.rs:72-90)."""
+        return {
+            "next_txn_index": self.next_txn_index,
+            "rlp_prover_inputs": list(self.rlp_prover_inputs),
+            "withdrawal_prover_inputs":
+                list(self.withdrawal_prover_inputs),
+            "ger_prover_inputs": list(self.ger_prover_inputs),
+            "bignum_modmul_result_limbs":
+                list(self.bignum_modmul_result_limbs),
+            "trie_root_ptrs": dict(self.trie_root_ptrs),
+            "jumpdest_table": None if self.jumpdest_table is None
+            else {k: list(v) for k, v in self.jumpdest_table.items()},
+            "access_lists_ptrs": {
+                k: v.copy() for k, v in self.access_lists_ptrs.items()},
+            "state_ptrs": {k: v.copy()
+                           for k, v in self.state_ptrs.items()},
+        }
+
+    def restore_extra(self, extra: dict) -> None:
+        self.next_txn_index = extra["next_txn_index"]
+        self.rlp_prover_inputs = list(extra["rlp_prover_inputs"])
+        self.withdrawal_prover_inputs = \
+            list(extra["withdrawal_prover_inputs"])
+        self.ger_prover_inputs = list(extra["ger_prover_inputs"])
+        self.bignum_modmul_result_limbs = \
+            list(extra["bignum_modmul_result_limbs"])
+        self.trie_root_ptrs = dict(extra["trie_root_ptrs"])
+        jt = extra["jumpdest_table"]
+        self.jumpdest_table = None if jt is None \
+            else {k: list(v) for k, v in jt.items()}
+        self.access_lists_ptrs = {
+            k: v.copy() for k, v in extra["access_lists_ptrs"].items()}
+        self.state_ptrs = {k: v.copy()
+                           for k, v in extra["state_ptrs"].items()}
+
     def soft_clone(self) -> "Interpreter":
         """Clone everything needed for a simulation re-run; memory is
         deep-copied (the reference shares a cloned MemoryState too,
@@ -1175,6 +1291,9 @@ class Interpreter:
         sim._final_registers = None
         sim._final_exception_done = False
         sim._last_kind = None
+        sim.cycle_limit = None
+        sim.segment_registers_before = None
+        sim.segment_registers_before_vals = None
         sim.inputs = self.inputs
         sim.next_txn_index = self.next_txn_index
         sim.rlp_prover_inputs = list(self.rlp_prover_inputs)
@@ -1359,7 +1478,16 @@ def run_kernel(kernel: Kernel, label: str, initial_stack, **kw):
     [0xDEADBEEF(retdest), ...args]. Returns the interpreter."""
     interp = Interpreter(kernel, kernel.global_labels[label],
                          initial_stack, **kw)
+    # RlpRaw[0] = 0x80, as the reference's test interpreter presets it
+    # (interpreter.rs:499-503) — routine tests may read it unwritten
+    interp.memory.set(0, Segment.RlpRaw, 0, 0x80)
     return interp.run()
+
+
+def initial_registers(kernel: Kernel) -> Registers:
+    """RegistersState::new(): pc=main, kernel mode (state.rs)."""
+    return Registers(program_counter=kernel.global_labels["main"],
+                     is_kernel=True)
 
 
 def run_generation(kernel: Kernel, inputs, max_cycles=50_000_000):
@@ -1369,5 +1497,5 @@ def run_generation(kernel: Kernel, inputs, max_cycles=50_000_000):
     interp = Interpreter(kernel, kernel.global_labels["init"],
                          max_cycles=max_cycles)
     interp.initialize_from_inputs(inputs)
-    interp.run()
+    interp.run_segment(initial_registers(kernel))
     return interp

@@ -263,7 +263,7 @@ def build_public_values(interp) -> PublicValues:
     if fr.stack_len > 0:
         stack_top = interp.memory.get(fr.context, Segment.Stack,
                                       fr.stack_len - 1)
-    main_pc = interp.kernel.global_labels["main"]
+    rb = interp.segment_registers_before_vals
     return PublicValues(
         trie_roots_before=TrieRoots(
             state_root=inputs.tries.state.root_hash(),
@@ -281,8 +281,9 @@ def build_public_values(interp) -> PublicValues:
                               + len(inputs.signed_txns)),
             gas_used_before=inputs.gas_used_before,
             gas_used_after=inputs.gas_used_after),
-        registers_before=RegistersData(program_counter=main_pc,
-                                       is_kernel=1),
+        registers_before=RegistersData(
+            program_counter=rb[0], is_kernel=rb[1], stack_len=rb[2],
+            stack_top=rb[3], context=rb[4], gas_used=rb[5]),
         registers_after=RegistersData(
             program_counter=fr.program_counter,
             is_kernel=int(fr.is_kernel), stack_len=fr.stack_len,
