@@ -31,6 +31,8 @@ ITERS = 10
 
 def main() -> None:
     import jax
+    from zk_evm_tpu.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     from zk_evm_tpu.field import GF, host
     from zk_evm_tpu.parallel import commit_cap
 

@@ -7,6 +7,8 @@ from zk_evm_tpu.orchestration import (Runtime, Operation, Monoid,
                                       SegmentTask, prove_segments)
 from zk_evm_tpu.orchestration.prover import SegmentAggMonoid, \
     SegmentProofResult
+from zk_evm_tpu.stark.multi import AllProof
+from zk_evm_tpu.stark.public_values import PublicValues, RegistersData
 
 
 class _Square(Operation):
@@ -30,20 +32,41 @@ def test_runtime_map_fold():
     assert rt.fold(_Sum(), []) == 0
 
 
+def _fake_proof(regs_before, regs_after, before_cap, after_cap):
+    """AllProof stub with just enough structure for the chain checks."""
+    from zk_evm_tpu.tables.all_stark import Table, NUM_TABLES
+
+    class _P:
+        def __init__(self, cap):
+            self.trace_cap = cap
+    proofs = [None] * NUM_TABLES
+    proofs[Table.MemBefore] = _P(before_cap)
+    proofs[Table.MemAfter] = _P(after_cap)
+    pv = PublicValues(registers_before=RegistersData(**regs_before),
+                      registers_after=RegistersData(**regs_after))
+    return AllProof(proofs=proofs, table_in_use=[p is not None
+                                                 for p in proofs],
+                    public_values=pv)
+
+
 def test_segment_chain_check():
     m = SegmentAggMonoid()
-
-    class _A:
-        pass
-    r0 = SegmentProofResult(0, "p0", {"a": 1}, {"a": 2})
-    r1 = SegmentProofResult(1, "p1", {"a": 2}, {"a": 3})
+    cap_a, cap_b, cap_c = [[1, 0, 0, 0]], [[2, 0, 0, 0]], [[3, 0, 0, 0]]
+    ra = dict(program_counter=10, gas_used=5)
+    rb = dict(program_counter=20, gas_used=9)
+    rc = dict(program_counter=30, gas_used=11)
+    r0 = SegmentProofResult(0, _fake_proof(ra, rb, cap_a, cap_b))
+    r1 = SegmentProofResult(1, _fake_proof(rb, rc, cap_b, cap_c))
     agg = m.combine(r0, r1, Runtime().abort_signal)
-    assert agg.proofs == ["p0", "p1"]
-    assert agg.mem_before == {"a": 1} and agg.mem_after == {"a": 3}
-    # mismatched continuation rejected
-    bad = SegmentProofResult(1, "p1", {"a": 99}, {"a": 3})
+    assert agg.first == 0 and agg.last == 1 and len(agg.proofs) == 2
+    # mismatched register chain rejected
+    bad = SegmentProofResult(1, _fake_proof(rc, rc, cap_b, cap_c))
     with pytest.raises(AssertionError):
         m.combine(r0, bad, Runtime().abort_signal)
+    # mismatched cap chain rejected
+    bad2 = SegmentProofResult(1, _fake_proof(rb, rc, cap_c, cap_c))
+    with pytest.raises(AssertionError):
+        m.combine(r0, bad2, Runtime().abort_signal)
 
 
 def test_two_segment_pipeline_with_real_proofs():
@@ -72,8 +95,11 @@ def test_two_segment_pipeline_with_real_proofs():
         traces[ast.Table.Memory] = trace
         traces[ast.Table.MemBefore] = mc.generate_trace(before_vals)
         traces[ast.Table.MemAfter] = mc.generate_trace(after_vals)
-        return SegmentTask(idx, traces, dict(before_vals),
-                           dict(after_vals)), after_vals
+        regs = RegistersData(program_counter=idx)
+        regs_after = RegistersData(program_counter=idx + 1)
+        pv = PublicValues(registers_before=regs,
+                          registers_after=regs_after)
+        return SegmentTask(idx, traces, pv, starks=starks), after_vals
 
     # without a CPU table, every non-initial memory row would need a CPU
     # looking view; segments carry pure continuation state here
@@ -81,7 +107,10 @@ def test_two_segment_pipeline_with_real_proofs():
                                      ((0, Segment.MainMemory, 3), 42)], [])
     task1, _ = make_segment(1, after0, [])
 
-    agg = prove_segments(starks, ctls, cfg, [task0, task1])
+    # chain the register claims: segment 1 starts where 0 ended
+    task1.public_values.registers_before = \
+        task0.public_values.registers_after
+    agg = prove_segments(cfg, [task0, task1], ctls=ctls)
     assert agg.first == 0 and agg.last == 1
     assert len(agg.proofs) == 2
 

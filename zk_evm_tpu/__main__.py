@@ -147,6 +147,8 @@ def cmd_bench(args):
 
 
 def main(argv=None):
+    from .compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser(prog="zk_evm_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
     d = sub.add_parser("decode", help="decode a block witness")

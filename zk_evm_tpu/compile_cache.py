@@ -1,0 +1,51 @@
+"""Persistent XLA compilation cache + degree bucketing policy.
+
+The proving pipeline's cold-start cost is dominated by XLA compilation
+(one executable per (table, 2^k) shape). Two mitigations, mirroring the
+reference's fixed per-table degree ranges (zero/src/prover_state/
+circuit.rs:79-90, where every circuit is built once per size bucket and
+persisted):
+
+1. `enable_persistent_cache()` points JAX at an on-disk executable
+   cache, so a re-prove of any already-seen shape skips compilation
+   entirely (seconds instead of tens of minutes).
+2. `bucket_rows(table_rows)` pads a trace length up to the next allowed
+   power of two from a coarse bucket ladder, collapsing the shape space
+   so a few warm executables cover every block.
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = os.path.expanduser(
+    os.environ.get("ZK_EVM_TPU_CACHE", "~/.cache/zk_evm_tpu/xla"))
+
+# Allowed log2 sizes per proving shape: every table pads to one of
+# these, so at most len(BUCKETS) executables exist per (table, phase).
+BUCKETS = (8, 10, 12, 14, 16, 17, 18, 19, 20, 21, 22)
+
+
+def enable_persistent_cache(path: str | None = None) -> str:
+    """Idempotently enable the on-disk XLA executable cache."""
+    import jax
+    path = path or _DEFAULT_DIR
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return path
+
+
+def bucket_log2(n_rows: int) -> int:
+    """Smallest allowed log2 bucket holding n_rows."""
+    need = max(n_rows, 2).bit_length() - 1
+    if (1 << need) < n_rows:
+        need += 1
+    for b in BUCKETS:
+        if b >= need:
+            return b
+    return need
+
+
+def bucket_rows(n_rows: int) -> int:
+    return 1 << bucket_log2(n_rows)

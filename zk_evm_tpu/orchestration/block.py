@@ -116,18 +116,27 @@ def verify_segments(all_proofs: list[AllProof], kernel,
         "final segment must leave no live memory"
 
     for a, b in zip(all_proofs, all_proofs[1:]):
-        pa, pb = a.public_values, b.public_values
-        assert pa.registers_after == pb.registers_before, \
-            "register chain broken between segments"
-        # the shared block statement must be identical across segments
-        assert pa.trie_roots_before == pb.trie_roots_before
-        assert pa.trie_roots_after == pb.trie_roots_after
-        assert pa.block_metadata == pb.block_metadata
-        assert pa.block_hashes == pb.block_hashes
-        assert pa.extra_block_data == pb.extra_block_data
-        ma = a.proofs[Table.MemAfter]
-        mb = b.proofs[Table.MemBefore]
-        assert ma is not None and mb is not None, \
-            "intermediate segment missing MemAfter/MemBefore"
-        assert _cap_ints(ma) == _cap_ints(mb), \
-            "MemAfter -> MemBefore cap chain broken"
+        check_segment_pair(a, b)
+
+
+def check_segment_pair(a: AllProof, b: AllProof) -> None:
+    """Consistency of two adjacent segment proofs: register chaining,
+    identical block statement, and the MemAfter -> MemBefore Merkle cap
+    chain (what the reference's segment-aggregation circuit enforces,
+    fixed_recursive_verifier.rs:2298-2408)."""
+    pa, pb = a.public_values, b.public_values
+    assert pa is not None and pb is not None, "missing public values"
+    assert pa.registers_after == pb.registers_before, \
+        "register chain broken between segments"
+    # the shared block statement must be identical across segments
+    assert pa.trie_roots_before == pb.trie_roots_before
+    assert pa.trie_roots_after == pb.trie_roots_after
+    assert pa.block_metadata == pb.block_metadata
+    assert pa.block_hashes == pb.block_hashes
+    assert pa.extra_block_data == pb.extra_block_data
+    ma = a.proofs[Table.MemAfter]
+    mb = b.proofs[Table.MemBefore]
+    assert ma is not None and mb is not None, \
+        "intermediate segment missing MemAfter/MemBefore"
+    assert _cap_ints(ma) == _cap_ints(mb), \
+        "MemAfter -> MemBefore cap chain broken"

@@ -1497,5 +1497,11 @@ def run_generation(kernel: Kernel, inputs, max_cycles=50_000_000):
     interp = Interpreter(kernel, kernel.global_labels["init"],
                          max_cycles=max_cycles)
     interp.initialize_from_inputs(inputs)
-    interp.run_segment(initial_registers(kernel))
+    try:
+        interp.run_segment(initial_registers(kernel))
+    except Exception as err:
+        from .debug import dump_error_artifacts
+        err.add_note("witness debug artifacts: "
+                     + dump_error_artifacts(interp, err))
+        raise
     return interp

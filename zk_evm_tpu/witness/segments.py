@@ -130,7 +130,13 @@ def run_segment_generation(kernel, inputs, segment: SegmentData,
     limit = None
     if segment.max_cpu_len_log is not None:
         limit = (1 << segment.max_cpu_len_log) - NUM_EXTRA_CYCLES_AFTER
-    interp.run_segment(segment.registers_before, cycle_limit=limit)
+    try:
+        interp.run_segment(segment.registers_before, cycle_limit=limit)
+    except Exception as err:
+        from .debug import dump_error_artifacts
+        err.add_note(f"segment {segment.index} debug artifacts: "
+                     + dump_error_artifacts(interp, err))
+        raise
     fr = interp.final_registers
     assert fr is not None, "segment did not reach exc_stop"
     if segment.registers_after is not None:
