@@ -66,11 +66,55 @@ def main() -> None:
 
     elems = POLYS * (1 << LOG_N)
     melem_s = elems / dt / 1e6
+
+    # ---- north-star sub-metrics (BASELINE.json): NTT Gelem/s and
+    # Poseidon Mperm/s, measured with the same chained-iteration trick.
+    from zk_evm_tpu import ntt as _ntt
+    from zk_evm_tpu.hash import poseidon as _poseidon
+
+    @jax.jit
+    def chained_ntt(values, seed):
+        seeded = _GF(values.lo.at[0, 0].add(seed), values.hi)
+        return _ntt.lde_bitrev(seeded, rate_bits=1)
+
+    out = chained_ntt(gf, jnp.uint32(0))
+    out.to_u64()
+    t0 = time.time()
+    seed = jnp.uint32(0)
+    for _ in range(ITERS):
+        out = chained_ntt(gf, seed)
+        seed = out.lo[0, 0]
+    seed.item()
+    ntt_dt = (time.time() - t0) / ITERS
+    ntt_gelem_s = elems / ntt_dt / 1e9
+
+    perm_rows = 1 << 18
+    hval = rng.integers(0, host.P, size=(perm_rows, 8), dtype=np.uint64)
+    hgf = GF.from_u64(hval)
+
+    @jax.jit
+    def chained_perm(rows, seed):
+        seeded = _GF(rows.lo.at[0, 0].add(seed), rows.hi)
+        return _poseidon.hash_rows(seeded)
+
+    d = chained_perm(hgf, jnp.uint32(0))
+    d.to_u64()
+    t0 = time.time()
+    seed = jnp.uint32(0)
+    for _ in range(ITERS):
+        d = chained_perm(hgf, seed)
+        seed = d.lo[0, 0]
+    seed.item()
+    perm_dt = (time.time() - t0) / ITERS
+    mperm_s = perm_rows / perm_dt / 1e6
+
     print(json.dumps({
         "metric": "trace_commit_throughput",
         "value": round(melem_s, 2),
         "unit": "Melem/s",
         "vs_baseline": round(melem_s / BASELINE_MELEM_S, 3),
+        "ntt_gelem_s": round(ntt_gelem_s, 3),
+        "poseidon_mperm_s": round(mperm_s, 2),
     }))
 
 

@@ -194,3 +194,76 @@ def check_ctl_balance(ctls, traces, extra_looking_values=None,
             errors.append("\n".join(msg))
     if errors:
         raise AssertionError("\n".join(errors))
+
+
+# ---------------------------------------------------------------------------
+# Constraint-degree audit (catch quotient aliasing before proving)
+# ---------------------------------------------------------------------------
+
+class _Deg:
+    """Max-plus degree element: mul adds degrees, add takes the max."""
+    __slots__ = ("d",)
+
+    def __init__(self, d=0):
+        self.d = d
+
+    def _c(self, o):
+        return o.d if isinstance(o, _Deg) else 0
+
+    def __add__(self, o):
+        return _Deg(max(self.d, self._c(o)))
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        return _Deg(max(self.d, self._c(o)))
+
+    def __rsub__(self, o):
+        return _Deg(max(self.d, self._c(o)))
+
+    def __mul__(self, o):
+        return _Deg(self.d + self._c(o))
+    __rmul__ = __mul__
+
+    def __neg__(self):
+        return _Deg(self.d)
+
+
+class _DegChecker:
+    def __init__(self, max_degree: int):
+        self.max_degree = max_degree
+        self.idx = 0
+        self.violations = []
+
+    def _check(self, c, extra: int):
+        d = (c.d if isinstance(c, _Deg) else 0) + extra
+        if d > self.max_degree:
+            self.violations.append((self.idx, d))
+        self.idx += 1
+
+    def constraint(self, c):
+        self._check(c, 0)
+
+    def constraint_transition(self, c):
+        self._check(c, 0)   # z_last multiplier is budgeted separately
+
+    constraint_first_row = constraint
+    constraint_last_row = constraint
+
+
+def check_constraint_degrees(stark: Stark, max_degree: int = 3,
+                             num_aux: int = 0, eval_extra=None):
+    """Evaluate the constraint system over max-plus degree elements and
+    return [(constraint_index, degree)] exceeding `max_degree` — the
+    quotient-aliasing budget (2^rate_bits + 1 with rate_bits=1, the
+    reference's starky degree bound)."""
+    frame = StarkFrame(
+        local=[_Deg(1) for _ in range(stark.num_columns)],
+        next_=[_Deg(1) for _ in range(stark.num_columns)],
+        public_inputs=[_Deg(0) for _ in range(64)],
+        aux_local=[_Deg(1) for _ in range(num_aux)],
+        aux_next=[_Deg(1) for _ in range(num_aux)])
+    cc = _DegChecker(max_degree)
+    stark.eval(frame, cc)
+    if eval_extra is not None:
+        eval_extra(frame, cc)
+    return cc.violations
