@@ -1,0 +1,67 @@
+"""Real-block witness generation: jerigon blocks from the reference's
+shipped artifacts run through decoder -> kernel -> 9 tables, with every
+AIR and CTL checked.
+
+This is the L3 -> L1' integration the reference exercises via its
+`zero` pipeline on the same witness files (artifacts/witness_b3_b6.json,
+6 jerigon blocks with real txns, contract execution, jumpdest analysis
+and beacon-root system calls)."""
+
+import json
+import os
+
+import pytest
+
+from zk_evm_tpu.witness.assembler import combined_kernel
+from zk_evm_tpu.witness.interpreter import run_generation
+from zk_evm_tpu.witness.traces import generate_all_tables
+from zk_evm_tpu.stark.debug import check_constraints_np, check_ctl_balance
+from zk_evm_tpu.tables.all_stark import (all_cross_table_lookups,
+                                         MEMORY_CTL_IDX)
+from zk_evm_tpu.stark.public_values import memory_extra_looking_values
+from zk_evm_tpu.native import keccak256
+
+WITNESSES = "/root/reference/artifacts/witness_b3_b6.json"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(WITNESSES),
+                                reason="reference artifacts not mounted")
+
+
+@pytest.fixture(scope="module")
+def kernel():
+    return combined_kernel()
+
+
+def _batch_inputs(block_idx: int, batch: int):
+    from zk_evm_tpu.decoder import parse_block_prover_input, entrypoint
+    blocks = json.load(open(WITNESSES))
+    bpi = parse_block_prover_input(blocks[block_idx])
+    return entrypoint(bpi, batch_size_hint=100)[batch]
+
+
+def test_all_blocks_halt(kernel):
+    """Every batch of blocks 3-6 executes init -> halt in the kernel."""
+    from zk_evm_tpu.decoder import parse_block_prover_input, entrypoint
+    blocks = json.load(open(WITNESSES))
+    halt = kernel.global_labels["halt"]
+    for obj in blocks:
+        bpi = parse_block_prover_input(obj)
+        for gi in entrypoint(bpi, batch_size_hint=100):
+            interp = run_generation(kernel, gi, max_cycles=5_000_000)
+            assert interp.final_registers.program_counter == halt, \
+                f"block {bpi.block_metadata.block_number} did not halt"
+
+
+def test_block4_tables_sound(kernel):
+    """Block 4 (real signed txn): all AIRs hold, all CTLs balance."""
+    interp = run_generation(kernel, _batch_inputs(1, 0),
+                            max_cycles=5_000_000)
+    gt = generate_all_tables(interp)
+    for trace, stark in zip(gt.traces, gt.starks):
+        if trace is not None:
+            check_constraints_np(stark, trace)
+    kh = int.from_bytes(keccak256(bytes(kernel.code)), "big")
+    extra = memory_extra_looking_values(gt.public_values, kh,
+                                        len(kernel.code))
+    check_ctl_balance(all_cross_table_lookups(), gt.traces,
+                      {MEMORY_CTL_IDX: extra})

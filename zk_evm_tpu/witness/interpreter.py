@@ -421,11 +421,11 @@ class Interpreter:
             ("TXN_NUMBER_AFTER",
              inputs.txn_number_before + len(inputs.signed_txns)),
             ("STATE_TRIE_DIGEST_BEFORE",
-             h2u(inputs.tries.state.root_hash())),
+             h2u(trie_root_hash(inputs.tries.state))),
             ("TXN_TRIE_DIGEST_BEFORE",
-             h2u(inputs.tries.transactions.root_hash())),
+             h2u(trie_root_hash(inputs.tries.transactions))),
             ("RECEIPT_TRIE_DIGEST_BEFORE",
-             h2u(inputs.tries.receipts.root_hash())),
+             h2u(trie_root_hash(inputs.tries.receipts))),
             ("STATE_TRIE_DIGEST_AFTER",
              h2u(inputs.trie_roots_after.state_root)),
             ("TXN_TRIE_DIGEST_AFTER",
@@ -1213,10 +1213,18 @@ class Interpreter:
         sim.halt_offsets = {self.kernel.global_labels["terminate_common"]}
         sim.halt_label = None
         sim.halt_context = self.registers.context
+        # The first next_address request fires from the PROVER_INPUT that
+        # sits exactly AT the `jumpdest_analysis` label, with the clone's
+        # pc already incremented past it. Restart the sim ON the label so
+        # the analysis-skip hook fires with the stack still
+        # [ctx, code_len, retdest] (the reference clones pre-increment:
+        # simulate_cpu_and_get_user_jumps, interpreter.rs:73-109).
+        sim.registers.program_counter = \
+            self.kernel.global_labels["jumpdest_analysis"]
         try:
             sim.run()
         except (KernelPanic, RuntimeError):
-            pass
+            pass  # partial tables are legal; the kernel verifies them
         table = {}
         for ctx, dsts in sim.jumpdest_collected.items():
             size = sim.memory.get(ctx, Segment.ContextMetadata,
@@ -1406,14 +1414,24 @@ class Interpreter:
         raise KernelPanic(f"linked_list::{what}")
 
 
+def trie_root_hash(t) -> bytes:
+    """Root hash across raw Tries (.root_hash) and decoder wrappers
+    (TransactionTrie/ReceiptTrie expose .root())."""
+    return t.root_hash() if hasattr(t, "root_hash") else t.root()
+
+
 class _TrieInputsView:
     """Adapter: decoder TrieInputs (state/storage/transactions/receipts)
     -> the field names mpt_load expects."""
 
     def __init__(self, tries):
-        self.state_trie = tries.state
-        self.transactions_trie = tries.transactions
-        self.receipts_trie = tries.receipts
+        def unwrap(t):
+            # decoder wraps txn/receipt tries (world.TransactionTrie);
+            # mpt_load wants the raw node trie
+            return t.trie if hasattr(t, "trie") else t
+        self.state_trie = unwrap(tries.state)
+        self.transactions_trie = unwrap(tries.transactions)
+        self.receipts_trie = unwrap(tries.receipts)
         st = tries.storage
         self.storage_tries = list(st.items()) if isinstance(st, dict) \
             else list(st)

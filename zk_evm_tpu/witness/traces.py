@@ -26,6 +26,7 @@ from ..tables import cpu_columns as cc
 from ..tables import (arithmetic, byte_packing, keccak, keccak_sponge,
                       logic, memory, memory_continuation)
 from ..tables.cpu import cpu_rows_from_run, CpuStark
+from .interpreter import trie_root_hash
 from ..tables.all_stark import Table, NUM_TABLES, OPTIONAL_TABLES
 from ..tables.segments import Segment
 from ..stark.public_values import (PublicValues, TrieRoots, ExtraBlockData,
@@ -266,9 +267,9 @@ def build_public_values(interp) -> PublicValues:
     rb = interp.segment_registers_before_vals
     return PublicValues(
         trie_roots_before=TrieRoots(
-            state_root=inputs.tries.state.root_hash(),
-            transactions_root=inputs.tries.transactions.root_hash(),
-            receipts_root=inputs.tries.receipts.root_hash()),
+            state_root=trie_root_hash(inputs.tries.state),
+            transactions_root=trie_root_hash(inputs.tries.transactions),
+            receipts_root=trie_root_hash(inputs.tries.receipts)),
         trie_roots_after=inputs.trie_roots_after,
         block_metadata=md,
         block_hashes=inputs.block_hashes,
