@@ -127,8 +127,23 @@ class BlockProverInput:
 def parse_block_prover_input(obj: dict) -> BlockProverInput:
     """One element of the artifact JSON array -> BlockProverInput."""
     bt, od = obj["block_trace"], obj["other_data"]
-    compact = bt["trie_pre_images"]["combined"]["compact"]
-    pre_state = type1_frontend(_bytes(compact))
+    pre_images = bt["trie_pre_images"]
+    if "combined" in pre_images:
+        pre_state = type1_frontend(_bytes(pre_images["combined"]
+                                          ["compact"]))
+    else:
+        # Separate pre-images (trace_decoder/src/interface.rs
+        # BlockTraceTriePreImages::Separate): state + per-account
+        # storage tries given as proof-node stores (mpt.builder).
+        from ..mpt.builder import PartialTrieBuilder
+        from .type1 import Type1Frontend
+        sep = pre_images["separate"]
+        pre_state = Type1Frontend()
+        pre_state.state = PartialTrieBuilder.from_json(
+            sep["state"]["direct"]).build()
+        for haddr, t in sep.get("storage", {}).items():
+            pre_state.storage[_h256(haddr)] = \
+                PartialTrieBuilder.from_json(t["direct"]).build()
     code_db = dict(pre_state.code)
     from ..native import keccak256
     for c in bt.get("code_db", []):

@@ -159,6 +159,33 @@ class Trie:
         t.root = _subset(self.root, [Nibbles(k) for k in keys])
         return t
 
+    def get_proof(self, key: Nibbles) -> list:
+        """Merkle proof for `key`: the RLP encodings of every
+        hash-referenced node from the root down the key path
+        (eth_getProof's accountProof/storageProof node list; nodes
+        inlined in their parent are not repeated)."""
+        proof = []
+        node, key = self.root, Nibbles(key)
+        inlined = False
+        while True:
+            if isinstance(node, (Empty, HashNode)):
+                return proof
+            if not inlined:
+                proof.append(_encode(node))
+            if isinstance(node, Leaf):
+                return proof
+            if isinstance(node, Extension):
+                if key[:len(node.key)] != node.key:
+                    return proof
+                child, key = node.child, key[len(node.key):]
+            else:                                  # Branch
+                if len(key) == 0:
+                    return proof
+                child, key = node.children[key[0]], key[1:]
+            inlined = not isinstance(child, (Empty, HashNode)) \
+                and len(_encode(child)) < 32
+            node = child
+
     def snapshot(self) -> "Trie":
         """O(1) copy: all node operations are functional."""
         t = Trie()

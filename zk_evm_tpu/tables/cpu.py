@@ -559,10 +559,15 @@ def cpu_rows_from_run(interp, n_rows=None):
 
 
 def cpu_stark_for_kernel(kernel) -> "CpuStark":
-    """The CpuStark a VERIFIER constructs from the kernel identity alone
-    (a full generation run starts at `init` and ends at `halt`)."""
+    """The CpuStark a VERIFIER constructs from the kernel identity alone.
+    A generation run starts at `init` and idles at `halt_final` — the pc
+    the exc_stop epilogue parks on (NOT `halt`, which is the
+    pre-epilogue label recorded in registers_after) — so the halt-module
+    constraints must pin the padding rows there, exactly as the
+    prover-side CpuStark from cpu_rows_from_run does."""
     gl = kernel.global_labels
-    return CpuStark(start_pc=gl["init"], halt_pc=gl["halt"],
+    return CpuStark(start_pc=gl["init"],
+                    halt_pc=gl.get("halt_final", gl["halt"]),
                     syscall_jumptable=gl.get("syscall_jumptable", 0),
                     exception_jumptable=gl.get("exception_jumptable", 0))
 
