@@ -343,3 +343,23 @@ def test_reference_case_contents():
     for h, code in fe.code.items():
         from zk_evm_tpu.native import keccak256
         assert keccak256(code) == h
+
+
+@pytest.mark.skipif(not os.path.exists(ARTIFACT),
+                    reason="witness artifact not mounted")
+def test_tries_observer_collects_per_batch():
+    """TriesObserver receives one element per batch with the
+    post-execution tries; the collected state root must equal the
+    batch's `after.state_root` (observer.rs:42-79, core.rs:613)."""
+    from zk_evm_tpu.decoder import TriesObserver
+    from zk_evm_tpu.decoder.inputs import parse_block_prover_input
+    from zk_evm_tpu.decoder.core import middle
+    bpi = parse_block_prover_input(json.load(open(ARTIFACT))[0])
+    obs = TriesObserver()
+    batches, _ = middle(bpi, batch_size=20, observer=obs)
+    assert len(obs.data) == len(batches) == 6
+    for i, (el, b) in enumerate(zip(obs.data, batches)):
+        assert el.batch == i
+        assert el.block == bpi.block_metadata.block_number
+        assert el.state.root_hash() == b.after.state_root
+        assert el.transaction_trie.root_hash() == b.after.transactions_root

@@ -11,10 +11,12 @@ from .inputs import parse_block_prover_input, BlockProverInput
 from .world import Type1World
 from .core import (middle, entrypoint, batch_txns, Batch, TrieInputs,
                    GenerationInputs)
+from .observer import Observer, DummyObserver, TriesObserver
 
 __all__ = ["parse_wire", "encode_wire", "Instruction",
            "type1_frontend", "Type1Frontend",
            "type2_frontend", "Type2Frontend",
            "parse_block_prover_input", "BlockProverInput",
            "Type1World", "middle", "entrypoint", "batch_txns",
-           "Batch", "TrieInputs", "GenerationInputs"]
+           "Batch", "TrieInputs", "GenerationInputs",
+           "Observer", "DummyObserver", "TriesObserver"]

@@ -93,12 +93,14 @@ def gwei_to_wei(amount: int) -> int:
 
 
 def middle(bpi: BlockProverInput, batch_size: int = 1,
-           batches_in: list = None, withdrawals: list = None) \
-        -> tuple[list, Type1World]:
+           batches_in: list = None, withdrawals: list = None,
+           observer=None) -> tuple[list, Type1World]:
     """Apply all txn deltas batch by batch; returns ([Batch], world).
 
     `batches_in` entries may contain None for dummy (padding) txns,
-    which don't advance the txn index."""
+    which don't advance the txn index. `observer.collect_tries` is
+    called with the post-execution tries after every batch
+    (trace_decoder/src/core.rs:613, observer.rs:11-26)."""
     world = Type1World(bpi.pre_state)
     code_db = dict(bpi.code_db)
     txn_trie, receipt_trie = TransactionTrie(), ReceiptTrie()
@@ -152,6 +154,12 @@ def middle(bpi: BlockProverInput, batch_size: int = 1,
             after=TrieRoots(state_root=world.root(),
                             transactions_root=txn_trie.root(),
                             receipts_root=receipt_trie.root())))
+        if observer is not None:
+            observer.collect_tries(
+                bpi.block_metadata.block_number, len(out) - 1,
+                world.state.snapshot(),
+                {h: t.snapshot() for h, t in world.storage.items()},
+                txn_trie.trie.snapshot(), receipt_trie.trie.snapshot())
     return out, world
 
 
@@ -282,15 +290,17 @@ class GenerationInputs:
     block_hashes: object
 
 
-def entrypoint(bpi: BlockProverInput, batch_size_hint: int = 1) -> list:
+def entrypoint(bpi: BlockProverInput, batch_size_hint: int = 1,
+               observer=None) -> list:
     """Block prover input -> one GenerationInputs per batch
     (core.rs:43-178).  Withdrawal amounts arrive in gwei and are
-    converted to wei before application."""
+    converted to wei before application. An optional `observer`
+    (decoder.observer) receives the post-batch intermediate tries."""
     wds = [(a, gwei_to_wei(v)) for a, v in bpi.withdrawals]
     batches, _ = middle(bpi,
                         batches_in=batch_txns(bpi.txn_info,
                                               batch_size_hint),
-                        withdrawals=wds)
+                        withdrawals=wds, observer=observer)
     out = []
     running_gas = 0
     for b in batches:

@@ -152,6 +152,12 @@ def hash_rows(matrix: GF) -> GF:
     if n_cols <= 4:
         pad = GF.zeros((n_rows, 4 - n_cols))
         return GF.concatenate([matrix, pad], axis=1)
+    if jax.default_backend() not in ("cpu",):
+        from . import poseidon_pallas as ppal
+        if ppal.sponge_available(n_rows, n_cols):
+            # fused-sponge kernel: state stays in VMEM across all absorb
+            # chunks; the .T here cancels with callers that pass lde.T
+            return ppal.sponge_pallas(matrix.T)
     state = GF.zeros((n_rows, pp.WIDTH))
     n_full = n_cols // pp.RATE
     rem = n_cols % pp.RATE

@@ -79,18 +79,13 @@ def _rc_limb_tables():
         (rcs >> np.uint64(32)).astype(np.uint32)
 
 
-def _permute_kernel(rc_lo_ref, rc_hi_ref, mat_t_ref,
-                    lo_ref, hi_ref, out_lo_ref, out_hi_ref):
+def _rounds(lo, hi, rc_lo_tab, rc_hi_tab, mat_t):
+    """All 30 Poseidon rounds on a (12, T) uint32 limb pair held in
+    registers/VMEM; shared by the permute and fused-sponge kernels."""
     params = pp.default_params()
-    mat_t = mat_t_ref[:]
-    lo = lo_ref[:]                              # (12, T)
-    hi = hi_ref[:]
     h = params.half_full_rounds
     npart = params.n_partial_rounds
-
     n_rounds = params.n_rounds
-    rc_lo_tab = rc_lo_ref[:]                    # (12, n_rounds)
-    rc_hi_tab = rc_hi_ref[:]
 
     def add_rc(lo, hi, rnd):
         # dynamic lane slices need 128-alignment in Mosaic; select the
@@ -126,6 +121,13 @@ def _permute_kernel(rc_lo_ref, rc_hi_ref, mat_t_ref,
     lo, hi = jax.lax.fori_loop(h, h + npart, partial_round, (lo, hi))
     lo, hi = jax.lax.fori_loop(h + npart, 2 * h + npart, full_round,
                                (lo, hi))
+    return lo, hi
+
+
+def _permute_kernel(rc_lo_ref, rc_hi_ref, mat_t_ref,
+                    lo_ref, hi_ref, out_lo_ref, out_hi_ref):
+    lo, hi = _rounds(lo_ref[:], hi_ref[:], rc_lo_ref[:], rc_hi_ref[:],
+                     mat_t_ref[:])
     out_lo_ref[:] = lo
     out_hi_ref[:] = hi
 
@@ -178,3 +180,98 @@ def permute_pallas(state: GF, interpret: bool = False) -> GF:
 
 def available(batch: int) -> bool:
     return batch % TILE == 0 and jax.default_backend() not in ("cpu",)
+
+
+# ---------------------------------------------------------------------------
+# Fused sponge: hash whole Merkle leaves (rows of a trace LDE) with the
+# sponge state resident in VMEM across ALL absorb chunks. The scanned jnp
+# sponge (poseidon.hash_rows) round-trips the (B, 12) state through HBM and
+# relaunches the permutation per 8-column chunk; for a 64-column leaf that
+# is 8 kernel dispatches and 16 extra state transfers. Here the grid is
+# (row_tiles, chunks) with chunks innermost: the state scratch persists
+# across chunk steps, so HBM traffic is exactly one read of the leaf
+# matrix + one write of the digests.
+
+def _sponge_kernel(last_limit, rc_lo_ref, rc_hi_ref, mat_t_ref,
+                   clo_ref, chi_ref, out_lo_ref, out_hi_ref,
+                   slo_ref, shi_ref):
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+
+    @pl.when(c == 0)
+    def _init():
+        zero = jnp.zeros((pp.WIDTH, TILE), jnp.uint32)
+        slo_ref[:] = zero
+        shi_ref[:] = zero
+
+    # overwrite-mode absorb: rows < limit take the chunk, the rest keep
+    # the running state (matches poseidon.hash_rows exactly, including the
+    # trailing partial chunk where limit = n_cols % 8)
+    limit = jnp.where(c == n_chunks - 1, np.uint32(last_limit),
+                      np.uint32(pp.RATE))
+    mask = jax.lax.broadcasted_iota(jnp.uint32, (pp.WIDTH, 1), 0) < limit
+    lo = jnp.where(mask, jnp.concatenate([clo_ref[:], slo_ref[8:, :]],
+                                         axis=0), slo_ref[:])
+    hi = jnp.where(mask, jnp.concatenate([chi_ref[:], shi_ref[8:, :]],
+                                         axis=0), shi_ref[:])
+    lo, hi = _rounds(lo, hi, rc_lo_ref[:], rc_hi_ref[:], mat_t_ref[:])
+    slo_ref[:] = lo
+    shi_ref[:] = hi
+
+    @pl.when(c == n_chunks - 1)
+    def _emit():
+        out_lo_ref[:] = lo[:4, :]
+        out_hi_ref[:] = hi[:4, :]
+
+
+@lru_cache(maxsize=32)
+def _sponge_call(n_rows: int, n_chunks: int, last_limit: int,
+                 interpret: bool):
+    from functools import partial
+    grid = (n_rows // TILE, n_chunks)
+    chunk_spec = pl.BlockSpec((pp.RATE, TILE), lambda i, c: (c, i),
+                              memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((4, TILE), lambda i, c: (0, i),
+                            memory_space=pltpu.VMEM)
+    n_rounds = pp.default_params().n_rounds
+    const = lambda shape: pl.BlockSpec(shape, lambda i, c: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_sponge_kernel, last_limit),
+        grid=grid,
+        in_specs=[const((12, n_rounds)), const((12, n_rounds)),
+                  const((12, 12)), chunk_spec, chunk_spec],
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((4, n_rows), jnp.uint32),
+                   jax.ShapeDtypeStruct((4, n_rows), jnp.uint32)),
+        scratch_shapes=[pltpu.VMEM((pp.WIDTH, TILE), jnp.uint32),
+                        pltpu.VMEM((pp.WIDTH, TILE), jnp.uint32)],
+        interpret=interpret,
+    )
+
+
+def sponge_pallas(matrix_t: GF, interpret: bool = False) -> GF:
+    """Digests of the COLUMNS of a (n_cols, n_rows) GF matrix: returns
+    (n_rows, 4), bit-identical to poseidon.hash_rows(matrix_t.T). Callers
+    that hold the LDE in (polys, points) layout pass it directly — under
+    jit their .T and ours cancel, so no transpose is materialized."""
+    n_cols, n_rows = matrix_t.shape
+    assert n_rows % TILE == 0 and n_cols > 4, (matrix_t.shape,)
+    n_chunks = -(-n_cols // pp.RATE)
+    rem = n_cols % pp.RATE
+    last_limit = rem if rem else pp.RATE
+    pad_rows = n_chunks * pp.RATE - n_cols
+    if pad_rows:
+        matrix_t = GF.concatenate(
+            [matrix_t, GF.zeros((pad_rows, n_rows))], axis=0)
+    rc_lo, rc_hi = _rc_limb_tables()
+    olo, ohi = _sponge_call(n_rows, n_chunks, last_limit, interpret)(
+        jnp.asarray(rc_lo.T.copy()), jnp.asarray(rc_hi.T.copy()),
+        jnp.asarray(_mds_matrix_np().T.copy()),
+        matrix_t.lo, matrix_t.hi)
+    return GF(olo.T, ohi.T)
+
+
+def sponge_available(n_rows: int, n_cols: int) -> bool:
+    return (n_rows % TILE == 0 and n_cols > 4
+            and jax.default_backend() not in ("cpu",))
