@@ -23,3 +23,16 @@ def test_cli_decode(capsys):
 def test_cli_requires_subcommand():
     with pytest.raises(SystemExit):
         main([])
+
+
+def test_cli_worker_drains_queue(tmp_path, capsys):
+    """`zk_evm_tpu worker --queue DIR` claims and executes queued jobs
+    (echo kind here; prove_block shares cmd_prove's code path)."""
+    from zk_evm_tpu.orchestration.queue import FsQueue
+    q = FsQueue(str(tmp_path))
+    jid = q.submit({"kind": "echo", "payload": "hi"})
+    assert main(["worker", "--queue", str(tmp_path),
+                 "--max-jobs", "1"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["jobs_executed"] == 1
+    assert q.wait(jid, timeout=1)["echo"] == "hi"

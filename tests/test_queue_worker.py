@@ -1,0 +1,89 @@
+"""Filesystem job queue + worker loop (the leader/worker distribution
+layer; zero/src/bin/worker.rs twin). Queue mechanics are exercised with
+cheap job kinds; the prove_block handler itself is the same code path as
+`zk_evm_tpu prove` (covered by test_cli)."""
+
+import threading
+
+from zk_evm_tpu.orchestration.queue import FsQueue, run_worker
+
+
+def _echo_handlers():
+    return {"echo": lambda job: {"echo": job["payload"]},
+            "boom": lambda job: 1 / 0}
+
+
+def test_submit_claim_complete_roundtrip(tmp_path):
+    q = FsQueue(str(tmp_path))
+    jid = q.submit({"kind": "echo", "payload": 7})
+    claimed = q.claim("w0")
+    assert claimed is not None and claimed[0] == jid
+    assert claimed[1]["payload"] == 7
+    assert q.claim("w1") is None          # already claimed
+    q.complete(jid, {"echo": 7})
+    assert q.wait(jid, timeout=1)["echo"] == 7
+
+
+def test_worker_loop_executes_and_reports_errors(tmp_path):
+    q = FsQueue(str(tmp_path))
+    ids = [q.submit({"kind": "echo", "payload": i}) for i in range(5)]
+    bad = q.submit({"kind": "boom"})
+    unknown = q.submit({"kind": "nope"})
+    n = run_worker(str(tmp_path), handlers=_echo_handlers(),
+                   max_jobs=7, worker_name="w0")
+    assert n == 7
+    assert [q.wait(i, timeout=1)["echo"] for i in ids] == list(range(5))
+    for jid, match in ((bad, "ZeroDivisionError"), (unknown, "unknown")):
+        try:
+            q.wait(jid, timeout=1)
+            raise AssertionError("expected failure")
+        except RuntimeError as e:
+            assert match in str(e)
+
+
+def test_two_workers_share_the_queue(tmp_path):
+    """Concurrent workers never double-execute a job (atomic-rename
+    claim) and together drain the queue."""
+    q = FsQueue(str(tmp_path))
+    executed = []
+    lock = threading.Lock()
+
+    def handler(job):
+        with lock:
+            executed.append(job["payload"])
+        return {"echo": job["payload"]}
+
+    ids = [q.submit({"kind": "echo", "payload": i}) for i in range(20)]
+    ts = [threading.Thread(
+        target=run_worker, args=(str(tmp_path),),
+        kwargs=dict(handlers={"echo": handler}, idle_timeout=0.5,
+                    worker_name=f"w{k}")) for k in range(2)]
+    for t in ts:
+        t.start()
+    for i in ids:
+        assert q.wait(i, timeout=10)["echo"] is not None
+    for t in ts:
+        t.join()
+    assert sorted(executed) == list(range(20))
+
+
+def test_requeue_stale_claims(tmp_path):
+    q = FsQueue(str(tmp_path))
+    jid = q.submit({"kind": "echo", "payload": 1})
+    assert q.claim("dead-worker") is not None
+    assert q.claim("w1") is None
+    assert q.requeue_stale(max_age_s=0.0) == 1
+    claimed = q.claim("w1")
+    assert claimed is not None and claimed[0] == jid
+
+
+def test_queue_map_orders_results(tmp_path):
+    q = FsQueue(str(tmp_path))
+    t = threading.Thread(
+        target=run_worker, args=(str(tmp_path),),
+        kwargs=dict(handlers=_echo_handlers(), idle_timeout=0.5))
+    t.start()
+    out = q.map([{"kind": "echo", "payload": i} for i in range(8)],
+                timeout=10)
+    t.join()
+    assert [r["echo"] for r in out] == list(range(8))

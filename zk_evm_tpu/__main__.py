@@ -146,6 +146,17 @@ def cmd_bench(args):
     return 0
 
 
+def cmd_worker(args):
+    """Worker loop: claim prove jobs from a shared-directory queue and
+    execute them on this host's chip (bin/worker.rs twin)."""
+    from .orchestration.queue import run_worker
+    n = run_worker(args.queue, max_jobs=args.max_jobs,
+                   idle_timeout=args.idle_timeout,
+                   worker_name=args.name)
+    print(json.dumps({"jobs_executed": n}))
+    return 0
+
+
 def main(argv=None):
     from .compile_cache import enable_persistent_cache
     enable_persistent_cache()
@@ -171,6 +182,14 @@ def main(argv=None):
     v.set_defaults(fn=cmd_verify)
     b = sub.add_parser("bench", help="run the standard benchmark")
     b.set_defaults(fn=cmd_bench)
+    w = sub.add_parser("worker",
+                       help="serve prove jobs from a shared queue dir")
+    w.add_argument("--queue", required=True)
+    w.add_argument("--max-jobs", type=int, default=None)
+    w.add_argument("--idle-timeout", type=float, default=None,
+                   help="exit after this many idle seconds")
+    w.add_argument("--name", default=None)
+    w.set_defaults(fn=cmd_worker)
     args = p.parse_args(argv)
     return args.fn(args)
 
