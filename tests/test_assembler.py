@@ -151,3 +151,106 @@ def test_full_kernel_assembles():
     assert len(k.global_labels) > 300
     assert len(k.prover_inputs) > 50
     assert len(k.code_hash) == 32
+
+
+def test_stack_search_optimal_sequences():
+    """Dijkstra %stack search (stack_manipulation.rs:90-167 twin):
+    finds known-optimal sequences and always re-simulates to the exact
+    target."""
+    from zk_evm_tpu.witness import stack_search as ss
+
+    # identity: zero ops
+    assert ss.shortest_path(["a", "b"], ["a", "b"]) == []
+    # pure rotation of 3 = 2 swaps
+    ops = ss.shortest_path(["a", "b", "c"], ["b", "c", "a"])
+    assert len(ops) == 2 and all(o[0] == "swap" for o in ops)
+    # drop everything
+    assert ss.shortest_path(["a", "b"], []) == [("pop",), ("pop",)]
+    # dup the top
+    assert ss.shortest_path(["a"], ["a", "a"]) == [("dup", 1)]
+    # swap1 beats pop+dup-style detours
+    assert ss.shortest_path(["a", "b"], ["b", "a"]) == [("swap", 1)]
+
+
+def test_stack_search_randomized_correctness():
+    """Random src/dst pairs: the found sequence must replay exactly to
+    dst and never cost more than the naive expansion's op count
+    bound."""
+    import random
+    from zk_evm_tpu.witness import stack_search as ss
+
+    rng = random.Random(7)
+    names = ["a", "b", "c", "d", "e", "f"]
+    for trial in range(60):
+        k = rng.randint(0, 5)
+        src = names[:k]
+        pool = src + [("push", "literal", rng.randint(0, 255))
+                      for _ in range(2)]
+        m = rng.randint(0, 6)
+        dst = [rng.choice(pool) for _ in range(m)]
+        # at most 2 copies of any src name (DUP reachable)
+        dst = [d for i, d in enumerate(dst) if dst[:i].count(d) < 2]
+        ops = ss.shortest_path(src, dst)
+        assert ops is not None, (src, dst)
+        cur = tuple(src)
+        for op in ops:
+            cur = ss._apply(cur, op)
+            assert cur is not None
+        assert list(cur) == dst, (src, dst, ops)
+
+
+def test_peephole_rules():
+    """Peephole optimizer rules (optimizer.rs:33-212 twins) on item
+    streams; each rewrite is checked for exact-semantics windows."""
+    from zk_evm_tpu.witness import optimizer as opt
+    from zk_evm_tpu.witness import asm_parser as ap
+
+    def push(v):
+        return ap.Push(ap.PushTarget("literal", v))
+
+    def ops(*names):
+        return [ap.StandardOp(n) for n in names]
+
+    # binary constant folding: PUSH 3, PUSH 4, SUB -> PUSH 1 (x=4 top)
+    out = opt.optimize_asm([push(3), push(4), ap.StandardOp("SUB")])
+    assert out == [push(1)]
+    # 0 - 1 = 2^256 - 1 would fold into a 32-byte immediate: 33 memory
+    # rows cost more than the 2 saved CPU rows, so the cost gate
+    # (replace_windows_if_better twin) rejects the rewrite
+    seq = [push(1), push(0), ap.StandardOp("SUB")]
+    assert opt.optimize_asm(seq) == seq
+    # identity: PUSH 0, ADD -> nothing
+    assert opt.optimize_asm([push(0), ap.StandardOp("ADD")]) == []
+    # push-pop elimination
+    assert opt.optimize_asm([push(9), ap.StandardOp("POP")]) == []
+    assert opt.optimize_asm(ops("DUP3", "POP")) == []
+    # swapped pushes
+    out = opt.optimize_asm([push(1), push(2), ap.StandardOp("SWAP1"),
+                            ap.StandardOp("MSTORE")])
+    assert out == [push(2), push(1), ap.StandardOp("MSTORE")]
+    # SWAP1 before commutative op
+    assert opt.optimize_asm(ops("SWAP1", "ADD")) == ops("ADD")
+    assert opt.optimize_asm(ops("SWAP1", "SUB")) == ops("SWAP1", "SUB")
+    # no-op jump
+    lbl = ap.Push(ap.PushTarget("label", "next"))
+    decl = ap.GlobalLabel("next")
+    out = opt.optimize_asm([lbl, ap.StandardOp("JUMP"), decl])
+    assert out == [decl]
+    # jump to a DIFFERENT label is kept
+    other = ap.GlobalLabel("other")
+    out = opt.optimize_asm([lbl, ap.StandardOp("JUMP"), other])
+    assert out == [lbl, ap.StandardOp("JUMP"), other]
+    # De Morgan: PUSH a, NOT, PUSH b, NOT, AND -> PUSH a, PUSH b, OR, NOT
+    out = opt.optimize_asm([push(5), ap.StandardOp("NOT"), push(6),
+                            ap.StandardOp("NOT"), ap.StandardOp("AND"),
+                            ap.StandardOp("MSTORE")])
+    # the OR then folds (5|6 = 7); the final NOT stays because ~7 is a
+    # 32-byte immediate the cost gate rejects
+    assert out == [push(7), ap.StandardOp("NOT"), ap.StandardOp("MSTORE")]
+    # De Morgan DUP1 guard: must NOT rewrite
+    seq = ops("DUP2", "NOT", "DUP1", "NOT", "AND")
+    assert opt.optimize_asm(seq) == seq
+    # cascade: ((2+3)*4) folds fully
+    out = opt.optimize_asm([push(4), push(3), push(2),
+                            ap.StandardOp("ADD"), ap.StandardOp("MUL")])
+    assert out == [push(20)]

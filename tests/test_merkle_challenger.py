@@ -76,3 +76,43 @@ def test_compact_resumes_transcript():
     fresh.observe_elements(range(10))
     fresh.compact()
     assert resumed.get_challenge() == fresh.get_challenge()
+
+
+def test_keccak_merkle_config_roundtrip():
+    """Keccak hasher config (the reference's outer
+    KeccakGoldilocksConfig twin): tree build + path verification with
+    the same shape-enforcing contract as the Poseidon host twin, and
+    digests bound to the native keccak256."""
+    import numpy as np
+    from zk_evm_tpu.field import host
+    from zk_evm_tpu.merkle import keccak_host as km
+    from zk_evm_tpu.native import keccak256
+
+    rng = np.random.default_rng(17)
+    leaves = rng.integers(0, host.P, size=(32, 7), dtype=np.uint64)
+    rows = [[int(x) for x in r] for r in leaves]
+    levels, cap = km.build_tree(rows, cap_height=2)
+    assert len(cap) == 4 and all(len(d) == 4 for d in cap)
+    path_len = 3                                   # log2(32) - 2
+    for idx in (0, 13, 31):
+        path = []
+        i = idx
+        for lvl in levels[:-1]:
+            path.append(lvl[i ^ 1])
+            i >>= 1
+        assert km.verify_path(rows[idx], idx, path, cap,
+                              path_len=path_len)
+        assert not km.verify_path(rows[idx], idx, path[:-1], cap,
+                                  path_len=path_len)   # truncation
+        bad = [list(p) for p in path]
+        bad[0][0] ^= 1
+        assert not km.verify_path(rows[idx], idx, bad, cap,
+                                  path_len=path_len)
+    # digest law is exactly keccak256 over LE limbs, reduced mod p
+    raw = keccak256(b"".join(int(v).to_bytes(8, "little")
+                             for v in rows[0]))
+    want = [int.from_bytes(raw[k:k+8], "little") % host.P
+            for k in range(0, 32, 8)]
+    assert km.hash_or_noop(rows[0]) == want
+    # hash_or_noop identity on short leaves (shared with Poseidon config)
+    assert km.hash_or_noop([5, 6]) == [5, 6, 0, 0]

@@ -1,5 +1,6 @@
 """zk-continuations: the simple-transfer block split into 2 segments
-(max_cpu_len_log=16). Every segment's AIRs hold and CTLs balance, the
+(max_cpu_len_log=15; the optimal %stack search brought the block under
+2^16 cycles, so the split point moved down a power of two). Every segment's AIRs hold and CTLs balance, the
 registers and MemAfter->MemBefore chains are exact, and the final
 segment halts with no live memory.
 
@@ -24,7 +25,7 @@ def segmented():
     kernel = combined_kernel()
     inputs = build_simple_transfer_inputs()
     results = list(generate_segment_tables(kernel, inputs,
-                                           max_cpu_len_log=16))
+                                           max_cpu_len_log=15))
     return kernel, results
 
 
@@ -33,7 +34,7 @@ def test_splits_into_two_segments(segmented):
     assert len(results) == 2
     for seg, gt in results:
         cpu = gt.traces[Table.Cpu]
-        assert cpu.shape[1] <= 1 << 16, "segment exceeded 2^16 CPU rows"
+        assert cpu.shape[1] <= 1 << 15, "segment exceeded 2^15 CPU rows"
     assert results[-1][1].public_values.registers_after.program_counter \
         == kernel.global_labels["halt"]
     assert len(results[-1][1].mem_after_values) == 0
