@@ -28,7 +28,9 @@ from .segments import Segment
 
 
 class Table:
-    """Table indices, in the reference's order (all_stark.rs:74-107)."""
+    """Table indices, in the reference's order (all_stark.rs:74-107).
+    Poseidon (index 9) exists only in the cdk_erigon flavor
+    (all_stark.rs:85, feature-gated upstream)."""
     Arithmetic = 0
     BytePacking = 1
     Cpu = 2
@@ -38,14 +40,17 @@ class Table:
     Memory = 6
     MemBefore = 7
     MemAfter = 8
+    Poseidon = 9
 
 
 NUM_TABLES = 9
+CDK_NUM_TABLES = 10
 
 # Optional tables that may be skipped when their trace is empty
 # (all_stark.rs:110-126)
 OPTIONAL_TABLES = (Table.BytePacking, Table.Keccak, Table.KeccakSponge,
                    Table.Logic, Table.MemAfter)
+CDK_OPTIONAL_TABLES = OPTIONAL_TABLES + (Table.Poseidon,)
 
 MEMORY_CTL_IDX = 6
 
@@ -53,11 +58,12 @@ NUM_CHANNELS = 5          # code + 3 GP + partial (cpu/membus.rs)
 _CTX_STACK_SIZE = 11      # ContextMetadata::StackSize, unscaled
 
 
-def all_starks():
+def all_starks(flavor: str = "eth_mainnet"):
     """Stark instances in Table order. The CpuStark here carries default
     kernel offsets; provers built from a real run swap in the run's
-    instance (witness/traces.py _starks_with)."""
-    return [
+    instance (witness/traces.py _starks_with). flavor="cdk_erigon"
+    appends the Poseidon coprocessor table (all_stark.rs:85)."""
+    starks = [
         ArithmeticStark(),
         BytePackingStark(),
         CpuStark(),
@@ -68,6 +74,10 @@ def all_starks():
         MemoryContinuationStark(),
         MemoryContinuationStark(),
     ]
+    if flavor == "cdk_erigon":
+        from .poseidon import PoseidonStark
+        starks.append(PoseidonStark())
+    return starks
 
 
 # ---------------------------------------------------------------------------
@@ -237,8 +247,51 @@ def _cpu_memory_views():
     return tuple(views)
 
 
-def all_cross_table_lookups() -> list[CrossTableLookup]:
-    """The 10 eth_mainnet CTLs (all_stark.rs:153-172)."""
+def all_cross_table_lookups(
+        flavor: str = "eth_mainnet") -> list[CrossTableLookup]:
+    """The 10 eth_mainnet CTLs (all_stark.rs:153-172). flavor=
+    "cdk_erigon" adds the three Poseidon CTLs (all_stark.rs:166-170,
+    420-441) and the Poseidon table's 56 byte-read views into the memory
+    CTL (all_stark.rs:345-349). The CPU-side looking views of the three
+    Poseidon CTLs belong to cdk-erigon's CPU layout (a different kernel
+    instruction set from the eth_mainnet CPU built here); until that
+    layout lands they are carried by verify_all's extra_looking_sums,
+    computed from the PoseidonOp list."""
+    ctls = _base_ctls(flavor)
+    if flavor == "cdk_erigon":
+        from . import poseidon
+        ctls.append(CrossTableLookup(
+            name="poseidon_simple",
+            looking=(),
+            looked=CtlView(table=Table.Poseidon,
+                           columns=poseidon.ctl_looked_simple_op(),
+                           filter=poseidon.ctl_looked_simple_filter())))
+        ctls.append(CrossTableLookup(
+            name="poseidon_general_input",
+            looking=(),
+            looked=CtlView(
+                table=Table.Poseidon,
+                columns=poseidon.ctl_looked_general_input(),
+                filter=poseidon.ctl_looked_general_input_filter())))
+        ctls.append(CrossTableLookup(
+            name="poseidon_general_output",
+            looking=(),
+            looked=CtlView(
+                table=Table.Poseidon,
+                columns=poseidon.ctl_looked_general_output(),
+                filter=poseidon.ctl_looked_general_output_filter())))
+    return ctls
+
+
+def _base_ctls(flavor: str = "eth_mainnet") -> list[CrossTableLookup]:
+    poseidon_mem_views = ()
+    if flavor == "cdk_erigon":
+        from . import poseidon
+        poseidon_mem_views = tuple(
+            CtlView(table=Table.Poseidon,
+                    columns=poseidon.ctl_looking_memory(i),
+                    filter=poseidon.ctl_looking_memory_filter())
+            for i in range(poseidon.BLOCK_BYTES))
     return [
         # ctl_arithmetic: CPU -> Arithmetic
         CrossTableLookup(
@@ -309,6 +362,7 @@ def all_cross_table_lookups() -> list[CrossTableLookup]:
                         columns=byte_packing.ctl_looking_memory(i),
                         filter=byte_packing.ctl_looking_memory_filter(i))
                 for i in range(32))
+            + poseidon_mem_views
             + (CtlView(table=Table.MemBefore,
                        columns=memory_continuation.ctl_data_memory(),
                        filter=memory_continuation.ctl_filter()),),
