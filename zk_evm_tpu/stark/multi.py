@@ -49,12 +49,18 @@ def observe_global(challenger: Challenger, caps, public_inputs) -> None:
 def prove_all(starks: list[Stark], traces: list[np.ndarray | None],
               ctls: list[lookup.CrossTableLookup], config: StarkConfig,
               public_inputs: list[int] | None = None,
-              public_values=None) -> AllProof:
+              public_values=None,
+              table_public_inputs: dict[int, list[int]] | None = None
+              ) -> AllProof:
     """Prove every in-use table under one transcript. traces[i] may be
     None for unused optional tables (zero-cap observed, no proof).
     `public_values` (a PublicValues) takes the place of raw
     public_inputs for block proofs: its Appendix-A encoding is what the
-    transcript observes (get_challenges.rs:202-227)."""
+    transcript observes (get_challenges.rs:202-227).
+    `table_public_inputs[t]` feeds table t's per-proof public inputs
+    (e.g. the Rvm's PUB bindings) without re-observing them — the
+    global observation already covers them when the caller passes the
+    same values in `public_inputs`."""
     if public_values is not None:
         assert public_inputs is None, \
             "pass public_values OR raw public_inputs, not both"
@@ -89,6 +95,7 @@ def prove_all(starks: list[Stark], traces: list[np.ndarray | None],
         with timed(f"prove {stark.name} {trace.shape}"):
             proofs.append(prove_stark(
                 stark, trace, config, challenger,
+                public_inputs=(table_public_inputs or {}).get(t),
                 challenges=challenges, ctl_groups=groups,
                 observe_trace_cap=False, trace_batch=batches[t]))
     return AllProof(proofs=proofs, table_in_use=table_in_use,

@@ -99,6 +99,14 @@ class Stark:
     def lookups(self):
         return []
 
+    def known_columns(self):
+        """Columns whose values are fixed by data the verifier holds
+        (e.g. the Rvm's program; recursion/known.py). The verifier
+        recomputes their openings at zeta/zeta*g from these values and
+        asserts equality with the proof's openings, binding the
+        committed polynomials to the known data."""
+        return {}
+
     def requires_ctls(self):
         return False
 

@@ -70,6 +70,20 @@ def verify_stark(stark: Stark, proof: StarkProof, config: StarkConfig,
     g = host.primitive_root_of_unity(degree_bits)
     zeta_next = host.emul(zeta, (g, 0))
 
+    # ---- known (program) columns: bind openings to the known values -----
+    known = stark.known_columns()
+    if known:
+        from ..recursion.known import eval_known_at
+        cache: dict = {}
+        for c, vals in known.items():
+            assert len(vals) == n, "known column length mismatch"
+            assert tuple(ops.trace_local[c]) == \
+                eval_known_at(vals, zeta, cache), \
+                f"known column {c} opening mismatch at zeta"
+            assert tuple(ops.trace_next[c]) == \
+                eval_known_at(vals, zeta_next, cache), \
+                f"known column {c} opening mismatch at zeta*g"
+
     # ---- constraint identity at zeta -----------------------------------
     z_last, l_first, l_last, zh = domains.selectors_at_point(
         zeta, degree_bits)

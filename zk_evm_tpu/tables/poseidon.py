@@ -254,6 +254,16 @@ def ctl_looked_simple_filter() -> Filter:
     return Filter(column=IS_SIMPLE_OP)
 
 
+def ctl_looked_permutation():
+    """Full-permutation view for the recursion VM (recursion/vm.py):
+    input[12] + digest limbs[8] + output_partial[8] under the simple-op
+    filter — the verifier AIR needs all 12 outputs (duplex state), not
+    just the digest."""
+    return tuple(col(c) for c in INPUT) \
+        + tuple(col(c) for c in DIGEST_COLS) \
+        + tuple(col(c) for c in OUTPUT_PARTIAL)
+
+
 def ctl_looked_general_output():
     """digest limbs[8] + timestamp, filter is_final * (1 - is_simple)."""
     return tuple(col(c) for c in DIGEST_COLS) + (col(TIMESTAMP),)
