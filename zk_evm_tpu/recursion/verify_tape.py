@@ -15,6 +15,8 @@ replay are staged next in stark/DESIGN.md's L2 roadmap)."""
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+
 from ..field import host
 from ..stark.config import StarkConfig
 from ..stark.proof import StarkProof
@@ -117,24 +119,52 @@ def _mod_reduce(t: Tape, c: Cell, log_m: int) -> list[Cell]:
     return rbits
 
 
+@dataclass
+class TapeStarkResult:
+    """Cells a wrapped proof exposes to its caller."""
+    public_inputs: list[Cell] = field(default_factory=list)
+    zs_first: list[Cell] = field(default_factory=list)   # CTL Z exports
+    trace_cap: list = field(default_factory=list)
+
+
+def tape_challenge_set(t: Tape, ch: tl.TapeChallenger, num_challenges: int):
+    """lookup.get_challenge_set twin: (beta, gamma) pairs as base-embedded
+    ECells so the generic lookup-constraint code runs on the tape."""
+    from ..stark.lookup import ChallengeSet
+    return ChallengeSet(tuple(
+        (tl.e_from_base(t, ch.get_challenge()),
+         tl.e_from_base(t, ch.get_challenge()))
+        for _ in range(num_challenges)))
+
+
 def verify_stark_tape(t: Tape, stark: Stark, proof: StarkProof,
                       config: StarkConfig,
                       challenger: tl.TapeChallenger | None = None,
-                      observe_trace_cap: bool = True) -> list[Cell]:
+                      challenges=None,
+                      ctl_groups=None,
+                      observe_trace_cap: bool = True) -> TapeStarkResult:
     """Lay down the verification of `proof` on the tape. Returns the
-    child public-input cells (callers bind them to VM public inputs).
+    child public-input cells (callers bind them to VM public inputs)
+    plus CTL Z(first) export cells for the AllStark global sum check.
     Raises AssertionError while building if the proof is invalid — and
     the resulting constraints reject any forged witness for a bad proof.
-    """
-    assert not stark.lookups(), "v1: child tables with aux not yet taped"
+
+    Mirrors verify_stark's two modes: single-table (observe everything
+    here) and AllStark (caps/publics observed globally by the caller,
+    shared `challenges`)."""
+    from ..stark import lookup as lkp
     fri_cfg = config.fri_config
     degree_bits = proof.degree_bits
     n = 1 << degree_bits
     ops = proof.openings
+    groups = list(ctl_groups or [])
+    lookups = stark.lookups()
+    has_aux = bool(lookups or groups)
+    assert not stark.known_columns(), \
+        "wrapping a known-column (program) child needs in-tape " \
+        "barycentric opening recomputation (self-recursion, next round)"
     assert len(ops.trace_local) == stark.num_columns
     assert len(ops.trace_next) == stark.num_columns
-    assert not ops.aux_local and not ops.ctl_zs_first, \
-        "v1: aux openings not yet taped"
 
     ch = challenger or tl.TapeChallenger(t)
     ch.compact()
@@ -143,6 +173,25 @@ def verify_stark_tape(t: Tape, stark: Stark, proof: StarkProof,
     if observe_trace_cap:
         ch.observe_cap(trace_cap)
         ch.observe_many(pub_cells)
+    aux_cap = None
+    aux_local: list = []
+    aux_next: list = []
+    zs_first: list = []
+    z_idxs: list = []
+    if has_aux:
+        if challenges is None:
+            challenges = tape_challenge_set(t, ch, config.num_challenges)
+        num_aux = lkp.num_aux_columns(lookups, groups,
+                                      len(challenges.pairs))
+        assert len(ops.aux_local) == num_aux
+        assert len(ops.aux_next) == num_aux
+        aux_cap = _load_cap(t, proof.aux_cap)
+        ch.observe_cap(aux_cap)
+        aux_local = [tl.e_load(t, v) for v in ops.aux_local]
+        aux_next = [tl.e_load(t, v) for v in ops.aux_next]
+        z_idxs = lkp.ctl_z_first_indices(lookups, groups, challenges)
+        assert len(ops.ctl_zs_first) == len(z_idxs)
+        zs_first = [t.load(int(v)) for v in ops.ctl_zs_first]
     alphas = ch.get_n_challenges(config.num_challenges)   # base Cells
     quotient_cap = _load_cap(t, proof.quotient_cap)
     ch.observe_cap(quotient_cap)
@@ -167,10 +216,14 @@ def verify_stark_tape(t: Tape, stark: Stark, proof: StarkProof,
 
     zero_e = tl.ECell(t.zero(), t.zero(), t)
     frame = StarkFrame(local=trace_local, next_=trace_next,
-                       public_inputs=pub_cells)
+                       public_inputs=pub_cells,
+                       aux_local=aux_local, aux_next=aux_next)
     cc = ConstraintConsumer(alphas=alphas, zero=zero_e, z_last=z_last,
                             lagrange_first=l_first, lagrange_last=l_last)
     stark.eval(frame, cc)
+    if has_aux:
+        from ..stark.lookup import eval_aux_constraints
+        eval_aux_constraints(lookups, groups, challenges, frame, cc)
 
     chunks_per = 1 << config.rate_bits
     for i, acc in enumerate(cc.accs):
@@ -183,24 +236,115 @@ def verify_stark_tape(t: Tape, stark: Stark, proof: StarkProof,
 
     # ---- FRI -------------------------------------------------------------
     # observation order mirrors StarkOpeningSet.observe_order()
-    for group in (trace_local, trace_next):
+    for group in (trace_local, trace_next, aux_local, aux_next):
         for e in group:
             ch.observe_extension(e)
+    ch.observe_many(zs_first)
     for e in quotient:
         ch.observe_extension(e)
     alpha = ch.get_extension_challenge()
 
     zeta_next = zeta * t.const(g_n)
-    oracle_caps = [trace_cap, quotient_cap]
-    oracle_widths = [stark.num_columns, len(ops.quotient)]
-    # (oracle_idx, value ECell) per opened poly, in FRI batch order
-    batches = [
-        (zeta, [(0, v) for v in trace_local]
-         + [(1, v) for v in quotient]),
-        (zeta_next, [(0, v) for v in trace_next]),
-    ]
+    oracle_caps = [trace_cap]
+    oracle_widths = [stark.num_columns]
+    zeta_entries = [(0, i, v) for i, v in enumerate(trace_local)]
+    next_entries = [(0, i, v) for i, v in enumerate(trace_next)]
+    if has_aux:
+        aidx = len(oracle_caps)
+        oracle_caps.append(aux_cap)
+        oracle_widths.append(len(aux_local))
+        zeta_entries += [(aidx, i, v) for i, v in enumerate(aux_local)]
+        next_entries += [(aidx, i, v) for i, v in enumerate(aux_next)]
+    qidx = len(oracle_caps)
+    oracle_caps.append(quotient_cap)
+    oracle_widths.append(len(ops.quotient))
+    zeta_entries += [(qidx, j, v) for j, v in enumerate(quotient)]
+    batches = [(zeta, zeta_entries), (zeta_next, next_entries)]
+    if has_aux and zs_first:
+        batches.append((tl.e_const(t, (1, 0)),
+                        [(1, i, tl.e_from_base(t, zc))
+                         for i, zc in zip(z_idxs, zs_first)]))
     _verify_fri_tape(t, ch, oracle_caps, oracle_widths, batches, alpha,
                      degree_bits, proof.fri_proof, fri_cfg)
+    return TapeStarkResult(public_inputs=pub_cells, zs_first=zs_first,
+                           trace_cap=trace_cap)
+
+
+def verify_all_tape(t: Tape, starks, all_proof, ctls,
+                    config: StarkConfig,
+                    extra_looking_values: dict | None = None
+                    ) -> list[Cell]:
+    """Tape twin of stark/multi.py verify_all: global cap observation,
+    shared challenge set, per-table verification, and the cross-table
+    logUp sum check. Which tables are in use is part of the wrap
+    program's shape (the reference bakes the same choice into its
+    per-degree recursive circuits).
+
+    `extra_looking_values[ci]` are rows of base Cells the *program*
+    contributes to CTL ci (e.g. public-value memory writes,
+    verifier.rs:319): their logUp sums are computed in-tape under the
+    derived challenges. Returns the global public-input cells."""
+    from ..stark import lookup as lkp
+    ch = tl.TapeChallenger(t)
+    cap_len = 1 << config.cap_height
+    caps = []
+    for proof in all_proof.proofs:
+        if proof is None:
+            caps.append([[t.zero()] * 4 for _ in range(cap_len)])
+        else:
+            caps.append(_load_cap(t, proof.trace_cap))
+    pub_cells = [t.load(int(v)) for v in all_proof.public_inputs]
+    for cap in caps:
+        ch.observe_cap(cap)
+    ch.observe_many(pub_cells)
+    challenges = tape_challenge_set(t, ch, config.num_challenges)
+    nc = len(challenges.pairs)
+
+    totals: dict = {}
+    for ti, (stark, proof) in enumerate(zip(starks, all_proof.proofs)):
+        if proof is None:
+            continue
+        groups = lkp.ctl_groups_for_table(ctls, ti)
+        res = verify_stark_tape(t, stark, proof, config, challenger=ch,
+                                challenges=challenges, ctl_groups=groups,
+                                observe_trace_cap=False)
+        assert len(res.zs_first) == nc * len(groups)
+        k = 0
+        for c in range(nc):
+            for ci, side, _views in groups:
+                key = (ci, side, c)
+                z = res.zs_first[k]
+                prev = totals.get(key)
+                totals[key] = z if prev is None else t.add(prev, z)
+                k += 1
+
+    # program-contributed extra looking sums (in-tape base-field logUp;
+    # beta/gamma embed base challenges, so everything stays base)
+    extra_sums: dict = {}
+    for ci, rows in (extra_looking_values or {}).items():
+        sums = []
+        for beta, gamma in challenges.pairs:
+            s = None
+            for row in rows:
+                combined = row[0]
+                gp = gamma.a
+                for v in row[1:]:
+                    combined = t.arith(v, gp, combined, c2=1, c0=1)
+                    gp = t.mul(gp, gamma.a)
+                term = _base_inv(t, t.add(beta.a, combined))
+                s = term if s is None else t.add(s, term)
+            sums.append(s)
+        extra_sums[ci] = sums
+
+    zero = t.zero()
+    for ci in range(len(ctls)):
+        for c in range(nc):
+            looking = totals.get((ci, "looking", c), zero)
+            extra = extra_sums.get(ci)
+            if extra is not None and extra[c] is not None:
+                looking = t.add(looking, extra[c])
+            looked = totals.get((ci, "looked", c), zero)
+            t.assert_eq(looking, looked)
     return pub_cells
 
 
@@ -275,15 +419,12 @@ def _verify_query_tape(t: Tape, idx_bits, rnd, oracle_caps, oracle_widths,
     gx = tl.ECell(t.zero(), t.zero(), t)
     apow = tl.e_const(t, (1, 0))
     for point, entries in batches:
-        # leaf positions follow batch entry order per oracle (the host
-        # verifier's explicit (oracle, poly) indices, fri.py:430-440)
+        # explicit (oracle, leaf position) indices, as in fri.py:430-440
         num = tl.ECell(t.zero(), t.zero(), t)
         denom = tl.e_sub(t, tl.e_from_base(t, x), point)
         inv_denom = tl.e_inv(t, denom)
-        per_oracle_pos = [0] * len(oracle_caps)
-        for oi, yv in entries:
-            pv = leaf_cells[oi][per_oracle_pos[oi]]
-            per_oracle_pos[oi] += 1
+        for oi, pos, yv in entries:
+            pv = leaf_cells[oi][pos]
             diff = tl.e_sub(t, tl.e_from_base(t, pv), yv)
             num = tl.e_add(t, num, tl.e_mul(t, apow, diff))
             apow = tl.e_mul(t, apow, alpha)

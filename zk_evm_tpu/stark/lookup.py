@@ -235,14 +235,17 @@ def _gf_suffix_sum(x: GF) -> GF:
     return GF(lo, hi)
 
 
-def _combine(local, nxt, columns, gamma: int):
-    """gamma-weighted combination of column expressions."""
+def _combine(local, nxt, columns, gamma):
+    """gamma-weighted combination of column expressions. gamma is an int
+    on the host paths; on the recursion tape it is an algebra element
+    (ECell) whose powers chain through its own `*` (recursion/verify_tape
+    runs this same code with cells)."""
     exprs = [_coerce_expr(c) for c in columns]
     acc = exprs[0].eval(local, nxt)
     gp = gamma
     for e in exprs[1:]:
         acc = acc + e.eval(local, nxt) * gp
-        gp = host.fmul(gp, gamma)
+        gp = host.fmul(gp, gamma) if isinstance(gamma, int) else gp * gamma
     return acc
 
 
