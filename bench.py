@@ -29,29 +29,25 @@ LOG_N = 15          # 2^15 rows -> 2^16-point LDE, 2M committed elements
 ITERS = 10
 
 
-def _init_backend(timeout_s: float = 180.0) -> str:
-    """Initialize the TPU (axon) backend with a watchdog: if the tunnel
-    is unreachable, fall back to the CPU backend instead of hanging the
-    driver. Returns the platform name actually in use."""
-    import threading
+def _init_backend(timeout_s: float = 120.0) -> str:
+    """Probe the TPU (axon) tunnel in a SUBPROCESS — a stuck in-process
+    probe would hold jax's backend-init lock and deadlock any fallback —
+    and pin the CPU platform before this process's first backend init
+    when the tunnel is unreachable. Returns the platform in use."""
+    import subprocess
     import jax
-    got: list = []
-
-    def probe():
-        try:
-            got.append(jax.devices()[0].platform)
-        except Exception as e:                      # noqa: BLE001
-            got.append(f"error:{e}")
-
-    th = threading.Thread(target=probe, daemon=True)
-    th.start()
-    th.join(timeout_s)
-    if got and not str(got[0]).startswith("error"):
-        return str(got[0])
-    # tunnel down: pin CPU and rebuild backends
-    from jax.extend.backend import clear_backends
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, timeout=timeout_s, text=True)
+        platform = r.stdout.strip().splitlines()[-1] if r.returncode == 0 \
+            and r.stdout.strip() else None
+    except subprocess.TimeoutExpired:
+        platform = None
+    if platform:
+        return platform
     jax.config.update("jax_platforms", "cpu")
-    clear_backends()
     return "cpu"
 
 

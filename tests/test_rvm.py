@@ -95,28 +95,30 @@ def test_known_column_eval_matches_poly():
     assert got == want
 
 
-def test_system_roundtrip():
+@pytest.fixture(scope="module")
+def system_proof():
     t = sample_tape()
     cfg = _cfg()
     starks, proof, pub = prove_system(t, cfg)
+    return starks, proof, pub, cfg
+
+
+def test_system_roundtrip(system_proof):
+    starks, proof, pub, cfg = system_proof
     verify_system(starks, proof, cfg, expected_public_inputs=pub)
 
 
-def test_system_rejects_wrong_public_inputs():
-    t = sample_tape()
-    cfg = _cfg()
-    starks, proof, pub = prove_system(t, cfg)
+def test_system_rejects_wrong_public_inputs(system_proof):
+    starks, proof, pub, cfg = system_proof
     bad = list(pub)
     bad[0] = (bad[0] + 1) % P
     with pytest.raises(AssertionError):
         verify_system(starks, proof, cfg, expected_public_inputs=bad)
 
 
-def test_system_rejects_foreign_program():
+def test_system_rejects_foreign_program(system_proof):
     """A proof of tape A must not verify against tape B's program."""
-    cfg = _cfg()
-    t1 = sample_tape()
-    starks1, proof1, pub1 = prove_system(t1, cfg)
+    starks1, proof1, pub1, cfg = system_proof
     t2 = vm.Tape(npub=2)
     a = t2.load(5)
     b = t2.mul(a, a)

@@ -183,7 +183,7 @@ def test_tape_wraps_all_proof():
     all_proof = prove_all(starks, traces, ctls, cfg,
                           public_inputs=[5, 7, 9])
     t = vm.Tape(npub=3)
-    pub_cells = verify_all_tape(t, starks, all_proof, ctls, cfg)
+    pub_cells, _results = verify_all_tape(t, starks, all_proof, ctls, cfg)
     for k, c in enumerate(pub_cells):
         t.bind_public(c, k)
     outer_cfg = _outer_cfg()
@@ -204,6 +204,39 @@ def test_tape_rejects_unbalanced_ctl():
         verify_all_tape(t, starks, all_proof, ctls, cfg)
 
 
+@pytest.mark.skipif("ZK_SLOW" not in __import__("os").environ,
+                    reason="depth-2 recursion; set ZK_SLOW=1")
+def test_self_recursion_depth2():
+    """Wrap the wrapper: a Fib proof wraps into 3-table proof P1 (whose
+    Rvm carries a preprocessed program oracle); a second tape verifies
+    P1 entirely — program binding via the constant program cap — and its
+    own proof verifies. This is the reference's recursive shrink chain
+    shape (fixed_recursive_verifier.rs shrink/aggregate)."""
+    from zk_evm_tpu.recursion.verify_tape import verify_all_tape
+    from zk_evm_tpu.recursion.system import system_ctls, RVM
+    proof, pis, cfg = _child_proof()
+    t1 = build_wrap_tape(proof, cfg, npub=len(pis))
+    outer_cfg = _outer_cfg()
+    starks1, p1, pub1 = prove_system(t1, outer_cfg)
+
+    t2 = vm.Tape(npub=len(pis))
+    ctls = system_ctls(starks1[RVM].npub)
+    pub_cells, results = verify_all_tape(t2, starks1, p1, ctls, outer_cfg)
+    # link the globally-observed publics to the inner Rvm's PUB-bound
+    # publics (verify_system's host assert, in-tape)
+    for g, r in zip(pub_cells, results[RVM].public_inputs):
+        t2.assert_eq(g, r)
+    for k, c in enumerate(pub_cells):
+        t2.bind_public(c, k)
+    starks2, p2, pub2 = prove_system(t2, outer_cfg)
+    assert pub2 == pis
+    verify_system(starks2, p2, outer_cfg, expected_public_inputs=pis)
+
+
+@pytest.mark.skipif("ZK_SLOW" not in __import__("os").environ,
+                    reason="extra outer prove; set ZK_SLOW=1 "
+                           "(the aggregation TAPE itself is covered by "
+                           "the broken-chain test below)")
 def test_two_child_aggregation():
     """Two child proofs verified in ONE tape — the two-to-one
     aggregation primitive (stark/DESIGN.md L2 step 3; reference
@@ -251,6 +284,30 @@ def test_two_child_aggregation_rejects_broken_chain():
     r2 = verify_stark_tape(t, FibStark(), p2, cfg)
     with pytest.raises(AssertionError):
         t.assert_eq(r2.public_inputs[0], r1.public_inputs[2])
+
+
+@pytest.mark.skipif("ZK_SLOW" not in __import__("os").environ,
+                    reason="production-table wrap; set ZK_SLOW=1")
+def test_tape_wraps_production_table():
+    """A real zk_evm table (BytePacking, 103 cols, byte range-check
+    logUp) wraps end-to-end: child prove -> tape -> outer 3-table proof
+    -> verify."""
+    import numpy as np
+    from zk_evm_tpu.tables import byte_packing as bp
+    from zk_evm_tpu.tables.segments import Segment
+    rng = np.random.default_rng(41)
+    ops = [bp.BytePackingOp(True, 0, Segment.MainMemory, 100, 7,
+                            rng.bytes(32)),
+           bp.BytePackingOp(False, 1, Segment.Calldata, 5, 13,
+                            rng.bytes(11))]
+    trace = bp.generate_trace(ops)
+    cfg = _child_cfg()
+    proof = prove_stark(bp.BytePackingStark(), trace, cfg, Challenger())
+    t = vm.Tape()
+    verify_stark_tape(t, bp.BytePackingStark(), proof, cfg)
+    outer_cfg = _outer_cfg()
+    starks, outer_proof, _pub = prove_system(t, outer_cfg)
+    verify_system(starks, outer_proof, outer_cfg)
 
 
 def test_tape_size_is_shape_deterministic():

@@ -78,13 +78,19 @@ def cmd_prove(args):
         if args.max_cpu_len_log:
             from .witness.segments import generate_segment_tables
             from .orchestration.block import verify_segments
-            proofs = []
-            cycles = 0
-            for seg, gt in generate_segment_tables(
-                    kernel, inputs, max_cpu_len_log=args.max_cpu_len_log):
-                with tree.scope(f"prove segment {seg.index}"):
-                    proofs.append(prove_block(gt))
-                cycles += gt.traces[2].shape[1]
+            from .orchestration.pipeline import prove_segments_pipelined
+            cycles_box = [0]
+
+            def _tables():
+                for seg, gt in generate_segment_tables(
+                        kernel, inputs,
+                        max_cpu_len_log=args.max_cpu_len_log):
+                    cycles_box[0] += gt.traces[2].shape[1]
+                    yield seg, gt
+
+            # witness generation overlaps device proving (P7)
+            proofs = prove_segments_pipelined(_tables(), prove_block)
+            cycles = cycles_box[0]
             with tree.scope("verify chain (self-check)"):
                 verify_segments(proofs, kernel)
             payload = json.dumps(
@@ -157,14 +163,30 @@ def cmd_worker(args):
     return 0
 
 
+def cmd_lsp(args):
+    """Kernel-asm language server over stdio (lsp-server.rs twin)."""
+    del args
+    from .witness.lsp import main as lsp_main
+    lsp_main()
+    return 0
+
+
 def main(argv=None):
     from .compile_cache import enable_persistent_cache
+    from . import runtime_config, metrics
     enable_persistent_cache()
     p = argparse.ArgumentParser(prog="zk_evm_tpu")
+    p.add_argument("--config", default=None,
+                   help="JSON config file (or ZK_CONFIG)")
+    p.add_argument("--flavor", choices=("eth_mainnet", "cdk_erigon"),
+                   default=None, help="chain flavor (or ZK_FLAVOR)")
+    p.add_argument("--log-level", default=None,
+                   choices=("error", "warn", "info", "debug"),
+                   help="logging level (or ZK_LOG)")
     sub = p.add_subparsers(dest="cmd", required=True)
     d = sub.add_parser("decode", help="decode a block witness")
     d.add_argument("witness")
-    d.add_argument("--batch-size", type=int, default=10)
+    d.add_argument("--batch-size", type=int, default=None)
     d.set_defaults(fn=cmd_decode)
     pr = sub.add_parser("prove", help="prove a block segment")
     src = pr.add_mutually_exclusive_group(required=True)
@@ -172,8 +194,8 @@ def main(argv=None):
     src.add_argument("--fixture", choices=("simple-transfer", "add11"),
                      help="built-in test block")
     pr.add_argument("-o", "--output", default="block.zkproof")
-    pr.add_argument("--batch-size", type=int, default=10)
-    pr.add_argument("--max-cpu-len-log", type=int, default=0,
+    pr.add_argument("--batch-size", type=int, default=None)
+    pr.add_argument("--max-cpu-len-log", type=int, default=None,
                     help="segment the proof at 2^N CPU rows "
                          "(zk-continuations)")
     pr.set_defaults(fn=cmd_prove)
@@ -190,7 +212,24 @@ def main(argv=None):
                    help="exit after this many idle seconds")
     w.add_argument("--name", default=None)
     w.set_defaults(fn=cmd_worker)
+    lsp = sub.add_parser("lsp", help="kernel-asm language server (stdio)")
+    lsp.set_defaults(fn=cmd_lsp)
     args = p.parse_args(argv)
+    rc = runtime_config.load(
+        cli_overrides={
+            "flavor": args.flavor,
+            "log_level": args.log_level,
+            "batch_size": getattr(args, "batch_size", None),
+            "max_cpu_len_log": getattr(args, "max_cpu_len_log", None),
+        },
+        config_path=args.config)
+    metrics.setup_logging(rc.log_level)
+    # resolved config backfills unset per-command flags
+    if hasattr(args, "batch_size"):
+        args.batch_size = rc.batch_size
+    if hasattr(args, "max_cpu_len_log"):
+        args.max_cpu_len_log = rc.max_cpu_len_log
+    args.runtime_config = rc
     return args.fn(args)
 
 

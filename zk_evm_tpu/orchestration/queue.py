@@ -187,11 +187,16 @@ def run_worker(queue_dir: str, handlers: dict | None = None,
         idle_since = time.time()
         job_id, job = claimed
         handler = handlers.get(job.get("kind"))
+        from .. import metrics
         try:
             if handler is None:
                 raise ValueError(f"unknown job kind: {job.get('kind')!r}")
-            q.complete(job_id, handler(job))
+            with metrics.timeit(f"job.{job.get('kind')}"):
+                q.complete(job_id, handler(job))
+            metrics.inc("worker.jobs_completed")
         except Exception as e:  # noqa: BLE001 — worker must stay alive
             q.fail(job_id, f"{type(e).__name__}: {e}")
+            metrics.inc("worker.jobs_failed")
         done += 1
+        metrics.gauge("worker.jobs_seen", done)
     return done

@@ -6,6 +6,9 @@ verifier-recomputed known-column openings (known.py)."""
 from .vm import Tape, RvmStark, Cell
 from .ram import RvmMemStark
 from .system import prove_system, verify_system, system_ctls
+from .verify_tape import verify_stark_tape, verify_all_tape
+from .aggregate import wrap_segment_chain
 
 __all__ = ["Tape", "RvmStark", "Cell", "RvmMemStark",
-           "prove_system", "verify_system", "system_ctls"]
+           "prove_system", "verify_system", "system_ctls",
+           "verify_stark_tape", "verify_all_tape", "wrap_segment_chain"]

@@ -1,0 +1,224 @@
+"""L2 aggregation of REAL block-segment proofs: one tape verifying a
+whole zk-continuation chain.
+
+Tape twin of the host chain verifier (orchestration/block.py
+verify_segments + verify_block) and of the reference's segment
+aggregation circuit (fixed_recursive_verifier.rs:2298-2408) plus the
+verifier-side kernel binding (verifier.rs:14-79,319-512):
+
+- every segment AllProof verifies in-tape (verify_tape.verify_all_tape);
+- the memory extra-looking rows (block metadata, trie digests, bloom,
+  block hashes, registers) are rebuilt from the PROOF's public-input
+  cells — registers enter as witness cells whose only binding is the
+  memory CTL itself, exactly the kernel prologue/epilogue contract;
+- segment 0's MemBefore trace cap must equal the kernel's initial
+  memory cap (a program CONSTANT of the wrap);
+- consecutive segments chain: identical block statement cells,
+  MemAfter->MemBefore cap cells, registers_after->registers_before;
+- the first segment starts at `main`, the last halts at `halt` with no
+  MemAfter table.
+
+The wrap's statement (public inputs) is the shared block statement.
+"""
+
+from __future__ import annotations
+
+from ..field import host
+from ..stark.config import StarkConfig
+from ..tables.all_stark import Table, MEMORY_CTL_IDX, \
+    all_cross_table_lookups
+from ..tables.segments import Segment
+from .vm import Cell, Tape
+from . import tape_lib as tl
+from .verify_tape import verify_all_tape
+
+P = host.P
+
+# ---- element offsets inside PublicValues.to_elements() ---------------------
+# (validated against the host encoder in tests/test_aggregate_tape.py)
+TRB = 0                      # trie_roots_before: 3 roots x 8 limbs
+TRA = 24
+MD = 48                      # block_metadata (97 elements)
+MD_BENEFICIARY = MD + 0      # 5 limbs
+MD_TIMESTAMP = MD + 5
+MD_NUMBER = MD + 6
+MD_DIFFICULTY = MD + 7
+MD_RANDOM = MD + 8           # 8 limbs
+MD_GASLIMIT = MD + 16
+MD_CHAIN_ID = MD + 17
+MD_BASE_FEE = MD + 18        # 2 limbs
+MD_GAS_USED = MD + 20
+MD_BLOB_GAS_USED = MD + 21   # 2 limbs
+MD_EXCESS_BLOB_GAS = MD + 23  # 2 limbs
+MD_BEACON_ROOT = MD + 25     # 8 limbs
+MD_BLOOM = MD + 33           # 8 words x 8 limbs
+BH = MD + 97                 # block_hashes: 256 prev x 8 + cur x 8
+BH_CUR = BH + 256 * 8
+EBD = BH_CUR + 8             # extra block data (16 elements)
+EBD_CHECKPOINT = EBD         # 8 limbs
+EBD_CONSOLIDATED = EBD + 8   # 4 elements
+EBD_TXN_BEFORE = EBD + 12
+EBD_TXN_AFTER = EBD + 13
+EBD_GAS_BEFORE = EBD + 14
+EBD_GAS_AFTER = EBD + 15
+NUM_PV_ELEMENTS = EBD + 16
+
+
+def _u256_row(t: Tape, limbs: list[Cell]) -> list[Cell]:
+    z = t.zero()
+    return list(limbs) + [z] * (8 - len(limbs))
+
+
+def memory_extra_rows_cells(t: Tape, pub: list[Cell],
+                            regs_before: list, regs_after: list,
+                            kernel_hash: int, kernel_len: int):
+    """Cell twin of stark/public_values.py memory_extra_looking_values:
+    each row is the 13-cell Memory CTL tuple (is_read=0, ctx=0, seg,
+    virt, 8 value limbs, timestamp=2). `regs_*` are
+    (pc, is_kernel, stack_len, stack_top_limbs[8], context, gas_used)
+    cell tuples."""
+    from ..witness.interpreter import _gm
+    zero = t.zero()
+    two = t.const(2)
+
+    def row(seg, virt, limbs):
+        return [zero, zero, t.const(int(seg)), t.const(virt)] \
+            + _u256_row(t, limbs) + [two]
+
+    def cells(off, n=1):
+        return [pub[off + i] for i in range(n)]
+
+    gm_fields = [
+        ("BLOCK_BENEFICIARY", cells(MD_BENEFICIARY, 5)),
+        ("BLOCK_TIMESTAMP", cells(MD_TIMESTAMP)),
+        ("BLOCK_NUMBER", cells(MD_NUMBER)),
+        ("BLOCK_DIFFICULTY", cells(MD_DIFFICULTY)),
+        ("BLOCK_RANDOM", cells(MD_RANDOM, 8)),
+        ("BLOCK_GAS_LIMIT", cells(MD_GASLIMIT)),
+        ("BLOCK_CHAIN_ID", cells(MD_CHAIN_ID)),
+        ("BLOCK_BASE_FEE", cells(MD_BASE_FEE, 2)),
+        ("BLOCK_CURRENT_HASH", cells(BH_CUR, 8)),
+        ("BLOCK_GAS_USED", cells(MD_GAS_USED)),
+        ("BLOCK_BLOB_GAS_USED", cells(MD_BLOB_GAS_USED, 2)),
+        ("BLOCK_EXCESS_BLOB_GAS", cells(MD_EXCESS_BLOB_GAS, 2)),
+        ("PARENT_BEACON_BLOCK_ROOT", cells(MD_BEACON_ROOT, 8)),
+        ("BLOCK_GAS_USED_BEFORE", cells(EBD_GAS_BEFORE)),
+        ("BLOCK_GAS_USED_AFTER", cells(EBD_GAS_AFTER)),
+        ("TXN_NUMBER_BEFORE", cells(EBD_TXN_BEFORE)),
+        ("TXN_NUMBER_AFTER", cells(EBD_TXN_AFTER)),
+        ("STATE_TRIE_DIGEST_BEFORE", cells(TRB, 8)),
+        ("TXN_TRIE_DIGEST_BEFORE", cells(TRB + 8, 8)),
+        ("RECEIPT_TRIE_DIGEST_BEFORE", cells(TRB + 16, 8)),
+        ("STATE_TRIE_DIGEST_AFTER", cells(TRA, 8)),
+        ("TXN_TRIE_DIGEST_AFTER", cells(TRA + 8, 8)),
+        ("RECEIPT_TRIE_DIGEST_AFTER", cells(TRA + 16, 8)),
+        ("KERNEL_HASH", [t.const(l) for l in _limbs(kernel_hash)]),
+        ("KERNEL_LEN", [t.const(kernel_len)]),
+    ]
+    out = [row(Segment.GlobalMetadata, _gm(name), limbs)
+           for name, limbs in gm_fields]
+    out += [row(Segment.GlobalBlockBloom, i, cells(MD_BLOOM + 8 * i, 8))
+            for i in range(8)]
+    out += [row(Segment.BlockHashes, i, cells(BH + 8 * i, 8))
+            for i in range(256)]
+    for base, regs in ((0, regs_before), (6, regs_after)):
+        pc, is_kernel, stack_len, stack_top, context, gas_used = regs
+        vals = [[pc], [is_kernel], [stack_len], stack_top, [context],
+                [gas_used]]
+        out += [row(Segment.RegistersStates, base + i, v)
+                for i, v in enumerate(vals)]
+    return out
+
+
+def _limbs(v: int, n: int = 8) -> list[int]:
+    return [(v >> (32 * i)) & 0xFFFFFFFF for i in range(n)]
+
+
+def load_registers_cells(t: Tape, regs):
+    """Registers as witness cells (pc, is_kernel, stack_len,
+    stack_top limbs[8], context, gas_used). Their binding is the memory
+    CTL: the kernel prologue reads / epilogue writes exactly these
+    RegistersStates rows (witness/segments.py)."""
+    return (t.load(regs.program_counter), t.load(regs.is_kernel),
+            t.load(regs.stack_len),
+            [t.load(l) for l in _limbs(regs.stack_top)],
+            t.load(regs.context), t.load(regs.gas_used))
+
+
+def wrap_segment_chain(t: Tape, all_proofs: list, kernel,
+                       config: StarkConfig):
+    """Verify a whole segment chain in one tape. Returns the shared
+    block-statement cells (the wrap's public inputs) plus the boundary
+    register cells."""
+    from ..orchestration.block import starks_for_kernel, \
+        _initial_memory_cap
+    from ..tables.keccak_sponge import keccak256
+    assert all_proofs, "no segment proofs"
+    starks = starks_for_kernel(kernel)
+    ctls = all_cross_table_lookups()
+    kernel_code = bytes(kernel.code)
+    kernel_hash = int.from_bytes(keccak256(kernel_code), "big")
+
+    chain = []
+    for ap in all_proofs:
+        pv = ap.public_values
+        assert pv is not None and \
+            list(ap.public_inputs) == pv.to_elements(), \
+            "public_inputs do not encode the claimed public values"
+        regs_b = load_registers_cells(t, pv.registers_before)
+        regs_a = load_registers_cells(t, pv.registers_after)
+        chain.append((ap, regs_b, regs_a))
+
+    results_per_seg = []
+    pubs_per_seg = []
+    for ap, regs_b, regs_a in chain:
+        pub_cells, results = verify_all_tape(
+            t, starks, ap, ctls, config,
+            extra_looking_values=None,
+            deferred_extra=lambda pubs, rb=regs_b, ra=regs_a: {
+                MEMORY_CTL_IDX: memory_extra_rows_cells(
+                    t, pubs, rb, ra, kernel_hash, len(kernel_code))})
+        results_per_seg.append(results)
+        pubs_per_seg.append(pub_cells)
+
+    # kernel binding: segment 0's MemBefore cap is a wrap constant
+    expected = _initial_memory_cap(kernel_code, config.rate_bits,
+                                   config.cap_height)
+    got = results_per_seg[0][Table.MemBefore].trace_cap
+    for d_cells, d_want in zip(got, expected):
+        for c, w in zip(d_cells, d_want):
+            t.assert_eq(c, t.const(int(w)))
+
+    # boundary conditions: start at main, halt at halt, final MemAfter
+    # absent (structural: table_in_use is part of the wrap shape)
+    first_b = chain[0][1]
+    last_a = chain[-1][2]
+    t.assert_eq(first_b[0], t.const(kernel.global_labels["main"]))
+    t.assert_eq(last_a[0], t.const(kernel.global_labels["halt"]))
+    assert not all_proofs[-1].table_in_use[Table.MemAfter], \
+        "final segment must leave no live memory"
+
+    # chaining
+    for i in range(len(chain) - 1):
+        (_, _, regs_a), (_, regs_b2, _) = chain[i], chain[i + 1]
+        _assert_regs_eq(t, regs_a, regs_b2)
+        for pa, pb in zip(pubs_per_seg[i], pubs_per_seg[i + 1]):
+            t.assert_eq(pa, pb)
+        ma = results_per_seg[i][Table.MemAfter]
+        mb = results_per_seg[i + 1][Table.MemBefore]
+        assert ma is not None and mb is not None, \
+            "intermediate segment missing MemAfter/MemBefore"
+        for da, db in zip(ma.trace_cap, mb.trace_cap):
+            for ca, cb in zip(da, db):
+                t.assert_eq(ca, cb)
+
+    return pubs_per_seg[0], first_b, last_a
+
+
+def _assert_regs_eq(t: Tape, a, b) -> None:
+    for xa, xb in zip(a, b):
+        if isinstance(xa, list):
+            for la, lb in zip(xa, xb):
+                t.assert_eq(la, lb)
+        else:
+            t.assert_eq(xa, xb)

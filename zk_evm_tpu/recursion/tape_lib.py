@@ -199,6 +199,19 @@ def _sel_rec(t: Tape, bit: Cell, a, b):
     return type(a)(_sel_rec(t, bit, x, y) for x, y in zip(a, b))
 
 
+def sponge_hash(t: Tape, cells: list[Cell]) -> list[Cell]:
+    """hash_no_pad twin (hash/host_poseidon.py:57): overwrite-mode
+    rate-8 sponge, 4-cell digest. Used to compress a large statement
+    (e.g. a block's 2217 public-value elements) into 4 bindable public
+    inputs; the outer verifier recomputes the digest on host."""
+    state = [t.zero()] * WIDTH
+    for off in range(0, len(cells), RATE):
+        chunk = cells[off:off + RATE]
+        state = list(chunk) + state[len(chunk):]
+        state = t.pose(state)
+    return state[:4]
+
+
 # -- challenger ---------------------------------------------------------------
 
 class TapeChallenger:

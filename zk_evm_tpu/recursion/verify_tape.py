@@ -161,10 +161,17 @@ def verify_stark_tape(t: Tape, stark: Stark, proof: StarkProof,
     lookups = stark.lookups()
     has_aux = bool(lookups or groups)
     assert not stark.known_columns(), \
-        "wrapping a known-column (program) child needs in-tape " \
-        "barycentric opening recomputation (self-recursion, next round)"
+        "known-column children are legacy; use the preprocessed oracle"
     assert len(ops.trace_local) == stark.num_columns
     assert len(ops.trace_next) == stark.num_columns
+    npre = stark.num_preprocessed
+    pre_cap_cells = None
+    if npre:
+        # The child's program cap is a verification-key CONSTANT of the
+        # wrap program: FRI binds the openings to it for free — this is
+        # what makes wrapping a wrap (self-recursion) possible.
+        pre_cap = stark.preprocessed_batch(config).cap_ints()
+        pre_cap_cells = [[t.const(int(v)) for v in d] for d in pre_cap]
 
     ch = challenger or tl.TapeChallenger(t)
     ch.compact()
@@ -173,6 +180,8 @@ def verify_stark_tape(t: Tape, stark: Stark, proof: StarkProof,
     if observe_trace_cap:
         ch.observe_cap(trace_cap)
         ch.observe_many(pub_cells)
+    if pre_cap_cells is not None:
+        ch.observe_cap(pre_cap_cells)
     aux_cap = None
     aux_local: list = []
     aux_next: list = []
@@ -245,10 +254,23 @@ def verify_stark_tape(t: Tape, stark: Stark, proof: StarkProof,
     alpha = ch.get_extension_challenge()
 
     zeta_next = zeta * t.const(g_n)
-    oracle_caps = [trace_cap]
-    oracle_widths = [stark.num_columns]
-    zeta_entries = [(0, i, v) for i, v in enumerate(trace_local)]
-    next_entries = [(0, i, v) for i, v in enumerate(trace_next)]
+    oracle_caps = []
+    oracle_widths = []
+    zeta_entries, next_entries = [], []
+    if npre:
+        oracle_caps.append(pre_cap_cells)
+        oracle_widths.append(npre)
+        zeta_entries += [(0, i, v)
+                         for i, v in enumerate(trace_local[:npre])]
+        next_entries += [(0, i, v)
+                         for i, v in enumerate(trace_next[:npre])]
+    tidx = len(oracle_caps)
+    oracle_caps.append(trace_cap)
+    oracle_widths.append(stark.num_columns - npre)
+    zeta_entries += [(tidx, i, v)
+                     for i, v in enumerate(trace_local[npre:])]
+    next_entries += [(tidx, i, v)
+                     for i, v in enumerate(trace_next[npre:])]
     if has_aux:
         aidx = len(oracle_caps)
         oracle_caps.append(aux_cap)
@@ -262,7 +284,7 @@ def verify_stark_tape(t: Tape, stark: Stark, proof: StarkProof,
     batches = [(zeta, zeta_entries), (zeta_next, next_entries)]
     if has_aux and zs_first:
         batches.append((tl.e_const(t, (1, 0)),
-                        [(1, i, tl.e_from_base(t, zc))
+                        [(aidx, i, tl.e_from_base(t, zc))
                          for i, zc in zip(z_idxs, zs_first)]))
     _verify_fri_tape(t, ch, oracle_caps, oracle_widths, batches, alpha,
                      degree_bits, proof.fri_proof, fri_cfg)
@@ -272,8 +294,8 @@ def verify_stark_tape(t: Tape, stark: Stark, proof: StarkProof,
 
 def verify_all_tape(t: Tape, starks, all_proof, ctls,
                     config: StarkConfig,
-                    extra_looking_values: dict | None = None
-                    ) -> list[Cell]:
+                    extra_looking_values: dict | None = None,
+                    deferred_extra=None) -> tuple:
     """Tape twin of stark/multi.py verify_all: global cap observation,
     shared challenge set, per-table verification, and the cross-table
     logUp sum check. Which tables are in use is part of the wrap
@@ -283,7 +305,8 @@ def verify_all_tape(t: Tape, starks, all_proof, ctls,
     `extra_looking_values[ci]` are rows of base Cells the *program*
     contributes to CTL ci (e.g. public-value memory writes,
     verifier.rs:319): their logUp sums are computed in-tape under the
-    derived challenges. Returns the global public-input cells."""
+    derived challenges. Returns (global public-input cells, per-table
+    TapeStarkResult-or-None list)."""
     from ..stark import lookup as lkp
     ch = tl.TapeChallenger(t)
     cap_len = 1 << config.cap_height
@@ -299,15 +322,23 @@ def verify_all_tape(t: Tape, starks, all_proof, ctls,
     ch.observe_many(pub_cells)
     challenges = tape_challenge_set(t, ch, config.num_challenges)
     nc = len(challenges.pairs)
+    if deferred_extra is not None:
+        # extra rows built FROM the public-input cells (e.g. the memory
+        # PV writes of recursion/aggregate.py)
+        assert extra_looking_values is None
+        extra_looking_values = deferred_extra(pub_cells)
 
     totals: dict = {}
+    results: list = []
     for ti, (stark, proof) in enumerate(zip(starks, all_proof.proofs)):
         if proof is None:
+            results.append(None)
             continue
         groups = lkp.ctl_groups_for_table(ctls, ti)
         res = verify_stark_tape(t, stark, proof, config, challenger=ch,
                                 challenges=challenges, ctl_groups=groups,
                                 observe_trace_cap=False)
+        results.append(res)
         assert len(res.zs_first) == nc * len(groups)
         k = 0
         for c in range(nc):
@@ -345,7 +376,7 @@ def verify_all_tape(t: Tape, starks, all_proof, ctls,
                 looking = t.add(looking, extra[c])
             looked = totals.get((ci, "looked", c), zero)
             t.assert_eq(looking, looked)
-    return pub_cells
+    return pub_cells, results
 
 
 def _verify_fri_tape(t: Tape, ch: tl.TapeChallenger, oracle_caps,

@@ -364,14 +364,15 @@ class RvmStark(Stark):
         self.num_columns = self.lay["NUM_COLUMNS"]
         self.num_public_inputs = npub
         self.known = known
+        # program columns live in their own preprocessed oracle whose
+        # Merkle cap is a verification-key constant — the binding is
+        # cap equality via FRI, which a recursion tape can check for
+        # free (stark/DESIGN.md L2 roadmap step 3)
+        self.num_preprocessed = \
+            self.lay["NUM_KNOWN"] if known is not None else 0
 
-    def known_columns(self) -> dict[int, np.ndarray]:
-        """Program columns: the verifier recomputes their openings from
-        the program itself (recursion/known.py), so the committed trace
-        cannot deviate from the program."""
-        if self.known is None:
-            return {}
-        return {c: self.known[c] for c in range(self.lay["NUM_KNOWN"])}
+    def preprocessed(self) -> np.ndarray | None:
+        return self.known
 
     def eval(self, frame, cc):
         lay = self.lay
@@ -397,12 +398,14 @@ class RvmStark(Stark):
         cc.constraint(lv[F_SEL] * (vout - v0 - v2 * v1 + v2 * v0))
         # ASSERT: v0 == v1
         cc.constraint(lv[F_ASSERT] * (v0 - v1))
-        # PUB: v0 == selected public input (public inputs are scalars in
-        # both algebras, so one code path keeps the fold order identical)
+        # PUB: v0 == selected public input. One code path for every
+        # algebra (ints/GF/HExt/tape cells) keeps the fold order
+        # identical; pis entries are ints on host paths and RAM cells
+        # when this stark is itself being wrapped (self-recursion).
         if self.npub:
-            acc = lv[PUBSEL_START] * int(pis[0])
+            acc = lv[PUBSEL_START] * pis[0]
             for k in range(1, self.npub):
-                acc = acc + lv[PUBSEL_START + k] * int(pis[k])
+                acc = acc + lv[PUBSEL_START + k] * pis[k]
             cc.constraint(lv[F_PUB] * (v0 - acc))
 
     def requires_ctls(self):

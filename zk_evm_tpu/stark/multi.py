@@ -40,6 +40,14 @@ def _zero_cap(config: StarkConfig) -> list[list[int]]:
     return [[0, 0, 0, 0] for _ in range(1 << config.cap_height)]
 
 
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *exc):
+        return False
+
+
 def observe_global(challenger: Challenger, caps, public_inputs) -> None:
     for cap in caps:
         challenger.observe_cap(cap)
@@ -50,8 +58,9 @@ def prove_all(starks: list[Stark], traces: list[np.ndarray | None],
               ctls: list[lookup.CrossTableLookup], config: StarkConfig,
               public_inputs: list[int] | None = None,
               public_values=None,
-              table_public_inputs: dict[int, list[int]] | None = None
-              ) -> AllProof:
+              table_public_inputs: dict[int, list[int]] | None = None,
+              parallel_commits: bool = False,
+              devices: list | None = None) -> AllProof:
     """Prove every in-use table under one transcript. traces[i] may be
     None for unused optional tables (zero-cap observed, no proof).
     `public_values` (a PublicValues) takes the place of raw
@@ -72,17 +81,51 @@ def prove_all(starks: list[Stark], traces: list[np.ndarray | None],
     challenger = Challenger()
     batches: list[PolynomialBatch | None] = []
     caps = []
-    for stark, trace in zip(starks, traces):
-        if trace is None:
-            batches.append(None)
-            caps.append(_zero_cap(config))
-            continue
-        with timed(f"commit {stark.name} trace"):
-            b = PolynomialBatch.from_values(
-                GF.from_u64(trace), rate_bits=config.rate_bits,
-                cap_height=config.cap_height)
-        batches.append(b)
-        caps.append(b.cap_ints())
+    if parallel_commits:
+        # P2 per-table parallelism (SURVEY §2.9): every trace commitment
+        # happens BEFORE any challenger sequencing, so they are
+        # independent — fan them out across threads (each JAX dispatch
+        # releases the GIL; with `devices` given, round-robin the tables
+        # over chips). The per-table prove phases stay sequential: the
+        # shared transcript orders them by construction.
+        from concurrent.futures import ThreadPoolExecutor
+        import jax
+
+        def commit(item):
+            i, trace = item
+            if trace is None:
+                return i, None
+            dev = devices[i % len(devices)] if devices else None
+            ctx = jax.default_device(dev) if dev is not None else \
+                _nullcontext()
+            npre = starks[i].num_preprocessed
+            with ctx:
+                with timed(f"commit {starks[i].name} trace"):
+                    return i, PolynomialBatch.from_values(
+                        GF.from_u64(trace[npre:]),
+                        rate_bits=config.rate_bits,
+                        cap_height=config.cap_height)
+
+        with ThreadPoolExecutor(max_workers=len(starks)) as pool:
+            results = dict(pool.map(commit, enumerate(traces)))
+        for i in range(len(starks)):
+            b = results[i]
+            batches.append(b)
+            caps.append(b.cap_ints() if b is not None
+                        else _zero_cap(config))
+    else:
+        for stark, trace in zip(starks, traces):
+            if trace is None:
+                batches.append(None)
+                caps.append(_zero_cap(config))
+                continue
+            with timed(f"commit {stark.name} trace"):
+                b = PolynomialBatch.from_values(
+                    GF.from_u64(trace[stark.num_preprocessed:]),
+                    rate_bits=config.rate_bits,
+                    cap_height=config.cap_height)
+            batches.append(b)
+            caps.append(b.cap_ints())
     observe_global(challenger, caps, public_inputs)
     challenges = lookup.get_challenge_set(challenger, config.num_challenges)
 

@@ -28,7 +28,8 @@ def _quotient_chunks(stark: Stark, trace_batch: PolynomialBatch,
                      aux_batch: PolynomialBatch | None,
                      lookups, groups, challenges,
                      alphas: list[int], config: StarkConfig,
-                     public_inputs: list[int]) -> GF:
+                     public_inputs: list[int],
+                     pre_batch: PolynomialBatch | None = None) -> GF:
     """Evaluate the constraint composition over the LDE coset and return
     quotient chunk coefficients, shape (num_challenges << rate_bits, n)."""
     degree_bits = trace_batch.degree.bit_length() - 1
@@ -37,6 +38,9 @@ def _quotient_chunks(stark: Stark, trace_batch: PolynomialBatch,
     m = 1 << log_m
 
     lde = trace_batch.lde                       # (cols, m) bitrev
+    if pre_batch is not None:
+        # preprocessed (program) columns occupy the low indices
+        lde = GF.concatenate([pre_batch.lde, lde], axis=0)
     perm = jnp.asarray(domains.next_row_perm_bitrev(log_m, rate_bits))
     next_lde = lde.take(perm, axis=-1)
     sel = domains.selector_tables_bitrev(degree_bits, rate_bits)
@@ -103,14 +107,21 @@ def prove_stark(stark: Stark, trace: np.ndarray, config: StarkConfig,
     assert 1 << degree_bits == n
     assert trace.shape[0] == stark.num_columns
     fri_cfg = config.fri_config
+    npre = stark.num_preprocessed
+    pre_batch = stark.preprocessed_batch(config)
+    assert (pre_batch is None) == (npre == 0)
+    if pre_batch is not None:
+        assert np.array_equal(stark.preprocessed(), trace[:npre]), \
+            "trace's program columns deviate from stark.preprocessed()"
 
-    trace_gf = GF.from_u64(trace)
+    trace_gf = GF.from_u64(trace)     # full (incl. program cols): aux gen
     if mesh is not None:
         trace_gf = shard_rows(trace_gf, mesh)
     if trace_batch is None:
         with timed("commit trace"):
             trace_batch = PolynomialBatch.from_values(
-                trace_gf, rate_bits=config.rate_bits,
+                trace_gf[npre:] if npre else trace_gf,
+                rate_bits=config.rate_bits,
                 cap_height=config.cap_height)
     trace_cap = trace_batch.cap_ints()
 
@@ -120,6 +131,10 @@ def prove_stark(stark: Stark, trace: np.ndarray, config: StarkConfig,
         # Bind single-table public inputs into the transcript (the
         # AllStark layer observes them globally instead).
         challenger.observe_elements(public_inputs)
+    if pre_batch is not None:
+        # the program cap is part of the verification key; observing it
+        # domain-separates transcripts of different programs
+        challenger.observe_cap(pre_batch.cap_ints())
 
     # 1. lookup/CTL challenges + aux commitment
     aux_batch = None
@@ -145,7 +160,7 @@ def prove_stark(stark: Stark, trace: np.ndarray, config: StarkConfig,
     with timed("evaluate quotient"):
         chunks = _quotient_chunks(stark, trace_batch, aux_batch, lookups,
                                   groups, challenges, alphas, config,
-                                  public_inputs)
+                                  public_inputs, pre_batch=pre_batch)
     with timed("commit quotient"):
         quotient_batch = PolynomialBatch.from_coeffs(
             chunks, rate_bits=config.rate_bits,
@@ -160,6 +175,11 @@ def prove_stark(stark: Stark, trace: np.ndarray, config: StarkConfig,
     with timed("openings"):
         t_open = trace_batch.open_at([zeta, zeta_next])
         q_open = quotient_batch.open_at([zeta])
+        pre_local, pre_next = [], []
+        if pre_batch is not None:
+            p_open = pre_batch.open_at([zeta, zeta_next])
+            pre_local = [tuple(map(int, v)) for v in p_open[0]]
+            pre_next = [tuple(map(int, v)) for v in p_open[1]]
     aux_local_open, aux_next_open, ctl_zs_first = [], [], []
     z_idxs: list[int] = []
     if aux_batch is not None:
@@ -172,19 +192,26 @@ def prove_stark(stark: Stark, trace: np.ndarray, config: StarkConfig,
             assert b == 0, "CTL Z opening at x=1 must be base-field"
             ctl_zs_first.append(a)
     openings = StarkOpeningSet(
-        trace_local=[tuple(map(int, v)) for v in t_open[0]],
-        trace_next=[tuple(map(int, v)) for v in t_open[1]],
+        trace_local=pre_local + [tuple(map(int, v)) for v in t_open[0]],
+        trace_next=pre_next + [tuple(map(int, v)) for v in t_open[1]],
         aux_local=aux_local_open, aux_next=aux_next_open,
         ctl_zs_first=ctl_zs_first,
         quotient=[tuple(map(int, v)) for v in q_open[0]])
     challenger.observe_elements(openings.observe_order())
 
-    # 4. FRI batched opening proof
+    # 4. FRI batched opening proof (oracle order: [pre?, trace, aux?, q])
     alpha = challenger.get_extension_challenge()
-    oracles = [trace_batch]
-    zeta_entries = [(0, i) for i in range(trace_batch.num_polys)]
+    oracles = []
+    zeta_entries, next_entries = [], []
+    if pre_batch is not None:
+        oracles.append(pre_batch)
+        zeta_entries += [(0, i) for i in range(npre)]
+        next_entries += [(0, i) for i in range(npre)]
+    tidx = len(oracles)
+    oracles.append(trace_batch)
+    zeta_entries += [(tidx, i) for i in range(trace_batch.num_polys)]
+    next_entries += [(tidx, i) for i in range(trace_batch.num_polys)]
     zeta_values = list(openings.trace_local)
-    next_entries = [(0, i) for i in range(trace_batch.num_polys)]
     next_values = list(openings.trace_next)
     if aux_batch is not None:
         aidx = len(oracles)
@@ -204,7 +231,6 @@ def prove_stark(stark: Stark, trace: np.ndarray, config: StarkConfig,
                             values=next_values),
     ]
     if ctl_zs_first:
-        aidx = 1
         batches.append(fri.FriOpeningBatch(
             point=(1, 0),
             entries=[(aidx, i) for i in z_idxs],

@@ -100,12 +100,41 @@ class Stark:
         return []
 
     def known_columns(self):
-        """Columns whose values are fixed by data the verifier holds
-        (e.g. the Rvm's program; recursion/known.py). The verifier
-        recomputes their openings at zeta/zeta*g from these values and
-        asserts equality with the proof's openings, binding the
-        committed polynomials to the known data."""
+        """Columns whose values are fixed by data the verifier holds.
+        The verifier recomputes their openings at zeta/zeta*g
+        barycentrically (recursion/known.py) and asserts equality,
+        binding the committed polynomials to the known data. Prefer
+        `preprocessed()` (cap-constant binding, recursable)."""
         return {}
+
+    # -- preprocessed (program) oracle ------------------------------------
+    # The first `num_preprocessed` columns of the trace are fixed by data
+    # the verifier holds (the Rvm's program). They are committed in their
+    # OWN oracle whose Merkle cap is a constant of the verification key:
+    # the verifier (and the recursion tape) bind openings to that cap via
+    # FRI alone — plonky2's constant/preprocessed polynomial treatment.
+    num_preprocessed: int = 0
+
+    def preprocessed(self):
+        """(num_preprocessed, n) uint64 values, or None."""
+        return None
+
+    def preprocessed_batch(self, config):
+        """Commit the preprocessed columns once per (program, config)."""
+        pre = self.preprocessed()
+        if pre is None:
+            return None
+        key = ("_pre_batch", config.rate_bits, config.cap_height)
+        cached = getattr(self, "_pre_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        from ..field import GF
+        from .poly_batch import PolynomialBatch
+        batch = PolynomialBatch.from_values(
+            GF.from_u64(pre), rate_bits=config.rate_bits,
+            cap_height=config.cap_height)
+        self._pre_cache = (key, batch)
+        return batch
 
     def requires_ctls(self):
         return False

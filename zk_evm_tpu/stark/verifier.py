@@ -47,10 +47,19 @@ def verify_stark(stark: Stark, proof: StarkProof, config: StarkConfig,
     for cap in (proof.trace_cap, proof.quotient_cap):
         assert len(cap) == cap_len, "cap size mismatch"
 
+    npre = stark.num_preprocessed
+    pre_batch = stark.preprocessed_batch(config)
+    assert (pre_batch is None) == (npre == 0)
+    pre_cap = pre_batch.cap_ints() if pre_batch is not None else None
+
     challenger.compact()
     if observe_trace_cap:
         challenger.observe_cap(proof.trace_cap)
         challenger.observe_elements(proof.public_inputs)
+    if pre_cap is not None:
+        # verification-key constant: the verifier computes this cap from
+        # the program itself, binding the preprocessed oracle via FRI
+        challenger.observe_cap(pre_cap)
     if has_aux:
         if challenges is None:
             challenges = lookup.get_challenge_set(
@@ -114,15 +123,26 @@ def verify_stark(stark: Stark, proof: StarkProof, config: StarkConfig,
     # ---- FRI ------------------------------------------------------------
     challenger.observe_elements(ops.observe_order())
     alpha = challenger.get_extension_challenge()
-    num_trace = stark.num_columns
-    oracle_caps = [proof.trace_cap]
-    zeta_entries = [(0, i) for i in range(num_trace)]
+    num_wit = stark.num_columns - npre
+    oracle_caps = []
+    oracle_widths = []
+    zeta_entries, next_entries = [], []
+    if pre_cap is not None:
+        oracle_caps.append(pre_cap)
+        oracle_widths.append(npre)
+        zeta_entries += [(0, i) for i in range(npre)]
+        next_entries += [(0, i) for i in range(npre)]
+    tidx = len(oracle_caps)
+    oracle_caps.append(proof.trace_cap)
+    oracle_widths.append(num_wit)
+    zeta_entries += [(tidx, i) for i in range(num_wit)]
+    next_entries += [(tidx, i) for i in range(num_wit)]
     zeta_values = list(ops.trace_local)
-    next_entries = [(0, i) for i in range(num_trace)]
     next_values = list(ops.trace_next)
     if has_aux:
         aidx = len(oracle_caps)
         oracle_caps.append(proof.aux_cap)
+        oracle_widths.append(len(ops.aux_local))
         num_aux = len(ops.aux_local)
         zeta_entries += [(aidx, i) for i in range(num_aux)]
         zeta_values += list(ops.aux_local)
@@ -130,6 +150,7 @@ def verify_stark(stark: Stark, proof: StarkProof, config: StarkConfig,
         next_values += list(ops.aux_next)
     qidx = len(oracle_caps)
     oracle_caps.append(proof.quotient_cap)
+    oracle_widths.append(len(ops.quotient))
     zeta_entries += [(qidx, j) for j in range(len(ops.quotient))]
     zeta_values += list(ops.quotient)
     batches = [
@@ -141,12 +162,8 @@ def verify_stark(stark: Stark, proof: StarkProof, config: StarkConfig,
     if has_aux and ops.ctl_zs_first:
         batches.append(fri.FriOpeningBatch(
             point=(1, 0),
-            entries=[(1, i) for i in z_idxs],
+            entries=[(aidx, i) for i in z_idxs],
             values=[(v, 0) for v in ops.ctl_zs_first]))
-    oracle_widths = [num_trace]
-    if has_aux:
-        oracle_widths.append(len(ops.aux_local))
-    oracle_widths.append(len(ops.quotient))
     fri.verify_fri(oracle_caps, batches, alpha, degree_bits,
                    proof.fri_proof, challenger, fri_cfg,
                    oracle_widths=oracle_widths)

@@ -81,10 +81,16 @@ _ACTIVE: contextvars.ContextVar[TimingTree | None] = \
 
 @contextlib.contextmanager
 def timed(name: str):
-    """Time a phase under the ambient TimingTree, if one is active."""
+    """Time a phase under the ambient TimingTree, if one is active, and
+    feed the process-wide metrics registry either way (metrics.py)."""
+    from . import metrics
     tree = _ACTIVE.get()
-    if tree is None:
-        yield None
-        return
-    with tree.scope(name) as node:
-        yield node
+    t0 = time.perf_counter()
+    try:
+        if tree is None:
+            yield None
+        else:
+            with tree.scope(name) as node:
+                yield node
+    finally:
+        metrics.observe(f"phase.{name}", time.perf_counter() - t0)
