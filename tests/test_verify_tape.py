@@ -310,6 +310,39 @@ def test_tape_wraps_production_table():
     verify_system(starks, outer_proof, outer_cfg)
 
 
+@pytest.mark.skipif("ZK_SLOW" not in __import__("os").environ,
+                    reason="three outer proves; set ZK_SLOW=1")
+def test_two_to_one_of_wrap_proofs():
+    """The full recursion ladder rung: wrap two Fib proofs separately,
+    aggregate the two WRAP proofs two-to-one in a third tape, prove and
+    verify it with the combined statement digest as public inputs."""
+    from zk_evm_tpu.hash import host_poseidon
+    from zk_evm_tpu.recursion.aggregate import two_to_one_tape
+    cfg = _child_cfg()
+    outer_cfg = _outer_cfg()
+    wraps = []
+    for a, b in ((1, 2), (5, 11)):
+        trace, pis = fib_trace(CHILD_N, a=a, b=b)
+        p = prove_stark(FibStark(), trace, cfg, Challenger(),
+                        public_inputs=pis)
+        tw = vm.Tape(npub=len(pis))
+        res = verify_stark_tape(tw, FibStark(), p, cfg)
+        for k, c in enumerate(res.public_inputs):
+            tw.bind_public(c, k)
+        starks, proof, pub = prove_system(tw, outer_cfg)
+        wraps.append((starks, proof, pub))
+
+    t = vm.Tape(npub=4)
+    digest = two_to_one_tape(t, wraps[0][:2], wraps[1][:2], outer_cfg)
+    for k, c in enumerate(digest):
+        t.bind_public(c, k)
+    starks3, p3, pub3 = prove_system(t, outer_cfg)
+    want = host_poseidon.hash_no_pad(
+        [int(v) for v in wraps[0][2] + wraps[1][2]])
+    assert pub3 == want
+    verify_system(starks3, p3, outer_cfg, expected_public_inputs=want)
+
+
 def test_tape_size_is_shape_deterministic():
     """Two different child proofs of the same shape produce the same
     program (the precondition for a fixed wrap circuit)."""

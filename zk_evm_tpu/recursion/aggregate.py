@@ -222,3 +222,25 @@ def _assert_regs_eq(t: Tape, a, b) -> None:
                 t.assert_eq(la, lb)
         else:
             t.assert_eq(xa, xb)
+
+
+def two_to_one_tape(t: Tape, left, right, config: StarkConfig):
+    """Two-to-one aggregation of wrap proofs (the reference's two-to-one
+    block aggregation, fixed_recursive_verifier.rs:2053-2824): verify
+    both 3-table wrap proofs in one tape — each Rvm's program cap is a
+    wrap constant, so this also closes the recursion ladder — link each
+    proof's global publics to its Rvm's PUB-bound publics, and return
+    H(left_pubs || right_pubs) as the combined 4-cell statement digest.
+
+    `left`/`right` are (starks, AllProof) pairs from prove_system."""
+    from .system import system_ctls, RVM
+    from .tape_lib import sponge_hash
+    combined: list[Cell] = []
+    for starks, proof in (left, right):
+        ctls = system_ctls(starks[RVM].npub)
+        pub_cells, results = verify_all_tape(t, starks, proof, ctls,
+                                             config)
+        for g, r in zip(pub_cells, results[RVM].public_inputs):
+            t.assert_eq(g, r)
+        combined += pub_cells
+    return sponge_hash(t, combined)
