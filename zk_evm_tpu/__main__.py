@@ -171,6 +171,22 @@ def cmd_lsp(args):
     return 0
 
 
+def cmd_trie_diff(args):
+    """Structural diff of two trie-shape JSON dumps — the files written
+    by witness/debug.py's error bundles (bin/trie_diff.rs twin)."""
+    from .witness.debug import trie_diff
+    with open(args.a) as f:
+        a = json.load(f)
+    with open(args.b) as f:
+        b = json.load(f)
+    diffs = trie_diff(a, b)
+    for d in diffs:
+        print(d)
+    if not diffs:
+        print("tries are structurally identical")
+    return 1 if diffs else 0
+
+
 def main(argv=None):
     from .compile_cache import enable_persistent_cache
     from . import runtime_config, metrics
@@ -214,6 +230,11 @@ def main(argv=None):
     w.set_defaults(fn=cmd_worker)
     lsp = sub.add_parser("lsp", help="kernel-asm language server (stdio)")
     lsp.set_defaults(fn=cmd_lsp)
+    td = sub.add_parser("trie-diff",
+                        help="diff two trie-shape JSON dumps")
+    td.add_argument("a")
+    td.add_argument("b")
+    td.set_defaults(fn=cmd_trie_diff)
     args = p.parse_args(argv)
     rc = runtime_config.load(
         cli_overrides={
