@@ -171,6 +171,16 @@ def cmd_lsp(args):
     return 0
 
 
+def cmd_leader(args):
+    """HTTP leader (leader.rs http-mode twin): accept jobs over HTTP,
+    dispatch via the shared queue directory to workers."""
+    from .orchestration.leader_http import serve
+    print(f"leader serving on {args.host}:{args.port} "
+          f"(queue: {args.queue})", file=sys.stderr)
+    serve(args.queue, host=args.host, port=args.port)
+    return 0
+
+
 def cmd_trie_diff(args):
     """Structural diff of two trie-shape JSON dumps — the files written
     by witness/debug.py's error bundles (bin/trie_diff.rs twin)."""
@@ -235,6 +245,12 @@ def main(argv=None):
     td.add_argument("a")
     td.add_argument("b")
     td.set_defaults(fn=cmd_trie_diff)
+    ld = sub.add_parser("leader",
+                        help="HTTP leader serving jobs into a queue dir")
+    ld.add_argument("--queue", required=True)
+    ld.add_argument("--host", default="127.0.0.1")
+    ld.add_argument("--port", type=int, default=8080)
+    ld.set_defaults(fn=cmd_leader)
     args = p.parse_args(argv)
     rc = runtime_config.load(
         cli_overrides={
