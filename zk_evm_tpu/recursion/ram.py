@@ -4,10 +4,15 @@ Single-felt-per-cell specialization of the Memory table's ordered-memory
 argument (tables/memory.py; reference memory_stark.rs): rows sorted by
 (addr, timestamp), boolean first-change flag, range-checked ordering
 deltas against a row-counter logUp, reads repeat the previous value, and
-the first operation on a fresh address must be a write — RAM starts
-empty, so every cell's value chain is rooted in an explicit VM write.
-This is the L2 verifier-AIR's operand bus (stark/DESIGN.md "L2 recursion
-/ aggregation roadmap", step 2)."""
+a fresh address either begins with a write or reads ZERO (the EVM
+memory table's read-zero semantics). Read-zero is sound here because
+the VM's program is verifier-known (preprocessed oracle) and built
+single-assignment: it never reads an address before writing it, so the
+zero-default is only ever exercised by gap-bridging dummy rows. Dummy
+(unfiltered) rows must be reads — every nonzero cell value is rooted in
+an explicit VM write or an imported boundary value. This is the L2
+verifier-AIR's operand bus (stark/DESIGN.md "L2 recursion /
+aggregation roadmap", step 2)."""
 
 from __future__ import annotations
 
@@ -26,7 +31,8 @@ ADDR_CHANGE = 5
 RANGE_CHECK = 6
 COUNTER = 7
 FREQUENCIES = 8
-NUM_COLUMNS = 9
+FINAL_EXPORT = 9
+NUM_COLUMNS = 10
 
 
 @dataclass
@@ -37,9 +43,21 @@ class RamOp:
     value: int
 
 
-def generate_trace(ops: list[RamOp], min_rows: int = 2) -> np.ndarray:
+def generate_trace(ops: list[RamOp], min_rows: int = 2,
+                   before_values: dict[int, int] | None = None,
+                   export_addrs=None) -> np.ndarray:
     """Sort by (addr, timestamp), insert dummy reads so every delta fits
-    the row-counter range check, pad with terminal dummy reads."""
+    the row-counter range check, pad with terminal dummy reads.
+
+    Chunked (zk-continuation) wraps: `before_values` inject the previous
+    chunk's exported cells as timestamp-0 writes (balanced by the
+    RvmBoundary MemBefore table's looking view, recursion/continuation
+    .py), and `export_addrs` marks each listed address's final row with
+    FINAL_EXPORT — the (addr, value) pairs the MemAfter boundary CTL
+    carries to the next chunk."""
+    ops = list(ops)
+    for addr, value in (before_values or {}).items():
+        ops.append(RamOp(0, addr, False, value))
     assert ops, "no RAM ops"
     rows = sorted(ops, key=lambda o: (o.addr, o.timestamp))
 
@@ -58,12 +76,13 @@ def generate_trace(ops: list[RamOp], min_rows: int = 2) -> np.ndarray:
                         t += max_rc
                         out.append(RamOp(t, prev.addr, True, prev.value))
                 else:
-                    # dummy rows must be reads (soundness: a filter-0
-                    # write would initialize a cell outside the VM), so
-                    # address gaps cannot be bridged — the tape allocates
-                    # addresses densely, making every delta 1.
-                    assert op.addr - prev.addr - 1 <= max_rc, \
-                        "address gap exceeds range check"
+                    # bridge address gaps with fresh-address dummy reads
+                    # of zero (read-zero semantics; chunked tapes import
+                    # sparse address sets, continuation.py)
+                    a = prev.addr
+                    while op.addr - a - 1 > max_rc:
+                        a += max_rc + 1
+                        out.append(RamOp(0, a, True, 0))
             out.append(op)
             if len(out) > n_budget:
                 return None
@@ -105,6 +124,16 @@ def generate_trace(ops: list[RamOp], min_rows: int = 2) -> np.ndarray:
     # last row), so frequencies must count all n rows
     freq = np.bincount(trace[RANGE_CHECK].astype(np.int64), minlength=n)
     trace[FREQUENCIES] = freq[:n].astype(np.uint64)
+    if export_addrs:
+        export = set(export_addrs)
+        # an address's final row: the row whose next row changes address
+        # (ADDR_CHANGE=1), or the global last row
+        for r in range(n):
+            a = int(trace[ADDR, r])
+            if a in export and (r == n - 1 or trace[ADDR_CHANGE, r]):
+                trace[FINAL_EXPORT, r] = 1
+                export.discard(a)
+        assert not export, f"export addresses never touched: {export}"
     return trace
 
 
@@ -115,6 +144,15 @@ def ctl_data():
 
 def ctl_filter() -> Filter:
     return Filter(column=FILTER)
+
+
+def ctl_export_data():
+    """(addr, final value) pairs carried to the next chunk's boundary."""
+    return (col(ADDR), col(VALUE))
+
+
+def ctl_export_filter() -> Filter:
+    return Filter(column=FINAL_EXPORT)
 
 
 class RvmMemStark(Stark):
@@ -142,12 +180,17 @@ class RvmMemStark(Stark):
         # the range-checked delta: addr gap - 1 on change, ts delta inside
         cc.constraint_transition(
             lv[RANGE_CHECK] - ac * (da - 1) - (1 - ac) * dt)
-        # a fresh address must begin with a write
-        cc.constraint_first_row(lv[IS_READ])
-        cc.constraint_transition(ac * nv[IS_READ])
+        # a fresh address begins with a write or reads zero
+        cc.constraint_first_row(lv[IS_READ] * lv[VALUE])
+        cc.constraint_transition(ac * nv[IS_READ] * nv[VALUE])
         # reads repeat the previous value within an address
         cc.constraint_transition(
             (1 - ac) * nv[IS_READ] * (nv[VALUE] - lv[VALUE]))
+        # FINAL_EXPORT only on an address's last row (next row changes
+        # address; the global last row is always a run's end)
+        fe = lv[FINAL_EXPORT]
+        cc.constraint(fe * (fe - 1))
+        cc.constraint_transition(fe * (1 - ac))
 
         cc.constraint_first_row(lv[COUNTER])
         cc.constraint_transition(nv[COUNTER] - lv[COUNTER] - 1)

@@ -310,12 +310,14 @@ class Tape:
 
 # -- CTL views ----------------------------------------------------------------
 
-def ctl_looking_ram(npub: int, channel: int):
+def ctl_looking_ram(npub: int, channel: int, clk_base: int = 0):
     """RAM bus channels, mirroring ram.ctl_data's (is_read, addr, value,
     timestamp). Channels 0-2: operand reads; 3: result write; 4-15: pose
-    input reads; 16-27: pose output writes."""
+    input reads; 16-27: pose output writes. `clk_base` rebases a chunked
+    tape's local clock onto the global timeline (continuation.py)."""
     lay = layout(npub)
-    ts = ColExpr(terms=((lay["CLK"], N_SLOTS),), const=channel + 1)
+    ts = ColExpr(terms=((lay["CLK"], N_SLOTS),),
+                 const=channel + 1 + clk_base * N_SLOTS)
     if channel < 3:
         a = (A0, A1, A2)[channel]
         v = (lay["V0"], lay["V1"], lay["V2"])[channel]
@@ -358,12 +360,14 @@ def ctl_looking_poseidon_filter() -> Filter:
 class RvmStark(Stark):
     name = "rvm"
 
-    def __init__(self, npub: int = 0, known: np.ndarray | None = None):
+    def __init__(self, npub: int = 0, known: np.ndarray | None = None,
+                 clk_base: int = 0):
         self.npub = npub
         self.lay = layout(npub)
         self.num_columns = self.lay["NUM_COLUMNS"]
         self.num_public_inputs = npub
         self.known = known
+        self.clk_base = clk_base    # chunked tapes: global clock offset
         # program columns live in their own preprocessed oracle whose
         # Merkle cap is a verification-key constant — the binding is
         # cap equality via FRI, which a recursion tape can check for
