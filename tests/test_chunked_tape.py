@@ -106,6 +106,26 @@ def test_chunked_prove_verify_roundtrip(chunked_proof):
     assert pub == [v for v in t.public_inputs]
 
 
+def test_wrap_chunked_chain_in_one_tape(chunked_proof):
+    """The ladder's glue: all chunk proofs verify inside ONE tape with
+    the boundary-cap chain asserted on proof-data cells (build +
+    constraint check; the outer prove is the usual wrap prove)."""
+    t, cfg, chunks, proven, pub = chunked_proof
+    outer = vm.Tape(npub=len(pub))
+    pubs = ct.wrap_chunked_tape(outer, chunks, proven, cfg)
+    for k, c in enumerate(pubs):
+        outer.bind_public(c, k)
+    stark, rvm_trace, ram_trace, pose_ops, opub = outer.finalize()
+    assert opub == pub
+    step = max(1, rvm_trace.shape[1] // 64)
+    check_constraints(stark, rvm_trace,
+                      rows=list(range(0, rvm_trace.shape[1], step)),
+                      public_inputs=opub)
+    check_constraints(ram.RvmMemStark(), ram_trace,
+                      rows=list(range(0, ram_trace.shape[1],
+                                      max(1, ram_trace.shape[1] // 64))))
+
+
 def test_chunked_rejects_broken_cap_chain(chunked_proof):
     """A boundary table that disagrees with the proven chunk's exports
     has a different trace cap — the chain check must catch it."""

@@ -213,6 +213,40 @@ def prove_chunked(tape: vm.Tape, config, rows_log: int):
     return chunks, out, pub
 
 
+def wrap_chunked_tape(t, chunks, proven, config):
+    """Verify a WHOLE chunk chain in one tape: per-chunk AllStark replay
+    (each chunk's program cap is a wrap constant), equal global publics
+    across chunks, and the boundary-cap chain asserted on proof-data
+    cells — one proof for the whole chunked tape, closing the recursion
+    ladder over arbitrarily large wrap programs. Returns the global
+    public-input cells."""
+    from .verify_tape import verify_all_tape
+    assert len(chunks) == len(proven)
+    assert chunks[0].before == {} and chunks[-1].after == {}
+    all_pubs = []
+    all_results = []
+    for ch, (starks, proof) in zip(chunks, proven):
+        pubs, results = verify_all_tape(
+            t, starks, proof, chunk_ctls(starks[RVM_T].npub,
+                                         ch.clk_base), config)
+        # link globally-observed publics to the Rvm's PUB bindings
+        for g, r in zip(pubs, results[RVM_T].public_inputs):
+            t.assert_eq(g, r)
+        all_pubs.append(pubs)
+        all_results.append(results)
+    for pa, pb in zip(all_pubs, all_pubs[1:]):
+        for ca, cb in zip(pa, pb):
+            t.assert_eq(ca, cb)
+    for ra, rb in zip(all_results, all_results[1:]):
+        ma, mb = ra[AFTER_T], rb[BEFORE_T]
+        assert ma is not None and mb is not None, \
+            "boundary tables missing between chunks"
+        for da, db in zip(ma.trace_cap, mb.trace_cap):
+            for ca, cb in zip(da, db):
+                t.assert_eq(ca, cb)
+    return all_pubs[0]
+
+
 def verify_chunked(chunks, proven, config,
                    expected_public_inputs=None) -> None:
     """Verify every chunk proof and the boundary-cap chain: chunk k's
