@@ -100,8 +100,7 @@ static inline uint64_t gl_add(uint64_t a, uint64_t b) {
   return s;
 }
 
-static inline uint64_t gl_mul(uint64_t a, uint64_t b) {
-  unsigned __int128 w = (unsigned __int128)a * b;
+static inline uint64_t gl_reduce128(unsigned __int128 w) {
   uint64_t lo = (uint64_t)w;
   uint64_t hi = (uint64_t)(w >> 64);
   uint64_t n1 = hi & 0xffffffffULL;
@@ -114,6 +113,10 @@ static inline uint64_t gl_mul(uint64_t a, uint64_t b) {
   return gl_add(t, u);
 }
 
+static inline uint64_t gl_mul(uint64_t a, uint64_t b) {
+  return gl_reduce128((unsigned __int128)a * b);
+}
+
 void gl_vec_add(const uint64_t* a, const uint64_t* b, uint64_t* out,
                 uint64_t n) {
   for (uint64_t i = 0; i < n; i++) out[i] = gl_add(a[i], b[i]);
@@ -122,6 +125,82 @@ void gl_vec_add(const uint64_t* a, const uint64_t* b, uint64_t* out,
 void gl_vec_mul(const uint64_t* a, const uint64_t* b, uint64_t* out,
                 uint64_t n) {
   for (uint64_t i = 0; i < n; i++) out[i] = gl_mul(a[i], b[i]);
+}
+
+// ---------------------------------------------------------------------------
+// Poseidon permutation (width 12, x^7 S-box, small-circulant MDS).
+// Exact host twin of hash/host_poseidon.py:permute — parameters are passed
+// in (round constants, circulant, diagonal) so this stays bit-compatible
+// with whatever constant table the python layer derives or imports.
+// ---------------------------------------------------------------------------
+
+static inline uint64_t gl_sbox7(uint64_t x) {
+  uint64_t x2 = gl_mul(x, x);
+  uint64_t x3 = gl_mul(x2, x);
+  uint64_t x4 = gl_mul(x2, x2);
+  return gl_mul(x3, x4);
+}
+
+// MDS entries are <= 6 bits, so 13 terms of u64*u6 products accumulate in
+// u128 without overflow; one reduction per output element.
+static inline void poseidon_mds12(const uint64_t* circ, const uint64_t* diag,
+                                  const uint64_t* in, uint64_t* out) {
+  for (int r = 0; r < 12; r++) {
+    unsigned __int128 acc = (unsigned __int128)diag[r] * in[r];
+    for (int i = 0; i < 12; i++)
+      acc += (unsigned __int128)circ[i] * in[(i + r) % 12];
+    out[r] = gl_reduce128(acc);
+  }
+}
+
+// states: (n, 12) row-major, updated in place. rc: (n_rounds, 12).
+void poseidon_permute_many(const uint64_t* rc, const uint64_t* circ,
+                           const uint64_t* diag, uint64_t half_full,
+                           uint64_t n_partial, uint64_t* states, uint64_t n) {
+  for (uint64_t k = 0; k < n; k++) {
+    uint64_t* s = states + 12 * k;
+    uint64_t tmp[12];
+    const uint64_t* r = rc;
+    for (uint64_t f = 0; f < half_full; f++, r += 12) {
+      for (int i = 0; i < 12; i++) tmp[i] = gl_sbox7(gl_add(s[i], r[i]));
+      poseidon_mds12(circ, diag, tmp, s);
+    }
+    for (uint64_t p = 0; p < n_partial; p++, r += 12) {
+      for (int i = 0; i < 12; i++) tmp[i] = gl_add(s[i], r[i]);
+      tmp[0] = gl_sbox7(tmp[0]);
+      poseidon_mds12(circ, diag, tmp, s);
+    }
+    for (uint64_t f = 0; f < half_full; f++, r += 12) {
+      for (int i = 0; i < 12; i++) tmp[i] = gl_sbox7(gl_add(s[i], r[i]));
+      poseidon_mds12(circ, diag, tmp, s);
+    }
+  }
+}
+
+// Overwrite-mode rate-8 sponge over a flat element stream: for each input
+// span (given by offsets[i]..offsets[i+1]) compute the 4-element digest —
+// with the <=4-element hash_or_noop passthrough — into digests[4*i..].
+void poseidon_hash_leaves(const uint64_t* rc, const uint64_t* circ,
+                          const uint64_t* diag, uint64_t half_full,
+                          uint64_t n_partial, const uint64_t* elems,
+                          const uint64_t* offsets, uint64_t n_leaves,
+                          uint64_t* digests) {
+  for (uint64_t k = 0; k < n_leaves; k++) {
+    const uint64_t* in = elems + offsets[k];
+    uint64_t len = offsets[k + 1] - offsets[k];
+    uint64_t* out = digests + 4 * k;
+    if (len <= 4) {
+      for (uint64_t i = 0; i < 4; i++) out[i] = i < len ? in[i] : 0;
+      continue;
+    }
+    uint64_t state[12] = {0};
+    for (uint64_t off = 0; off < len; off += 8) {
+      uint64_t chunk = len - off < 8 ? len - off : 8;
+      for (uint64_t i = 0; i < chunk; i++) state[i] = in[off + i];
+      poseidon_permute_many(rc, circ, diag, half_full, n_partial, state, 1);
+    }
+    for (int i = 0; i < 4; i++) out[i] = state[i];
+  }
 }
 
 // cumulative suffix sums mod p (logUp running-sum generation on host)

@@ -28,7 +28,24 @@ def _mds(state: list[int], params: pp.PoseidonParams) -> list[int]:
 
 def permute(state: list[int],
             params: pp.PoseidonParams | None = None) -> list[int]:
-    """One Poseidon permutation over a width-12 state of canonical ints."""
+    """One Poseidon permutation over a width-12 state of canonical ints.
+    Dispatches to the native C++ twin when the host library is built
+    (native/zkhost.cpp poseidon_permute_many); permute_py is the exact
+    pure-python ground truth it is tested against."""
+    params = params or pp.default_params()
+    from .. import native
+    if params.width == 12 and params.sbox_exp == 7:
+        import numpy as np
+        out = native.poseidon_permute_many(
+            np.array([state], dtype=np.uint64), params)
+        if out is not None:
+            return [int(v) for v in out[0]]
+    return permute_py(state, params)
+
+
+def permute_py(state: list[int],
+               params: pp.PoseidonParams | None = None) -> list[int]:
+    """Pure-python permutation (exact ground truth)."""
     params = params or pp.default_params()
     w = params.width
     assert len(state) == w

@@ -44,6 +44,54 @@ def _load():
             np.ctypeslib.ndpointer(np.uint64, flags="C"),
             np.ctypeslib.ndpointer(np.uint64, flags="C"),
             ctypes.c_uint64]
+        u64p = np.ctypeslib.ndpointer(np.uint64, flags="C")
+        lib.poseidon_permute_many.argtypes = [
+            u64p, u64p, u64p, ctypes.c_uint64, ctypes.c_uint64,
+            u64p, ctypes.c_uint64]
+        lib.poseidon_hash_leaves.argtypes = [
+            u64p, u64p, u64p, ctypes.c_uint64, ctypes.c_uint64,
+            u64p, u64p, ctypes.c_uint64, u64p]
+        # tape core (recursion/vm.py NativeTape)
+        h = ctypes.c_void_p
+        i64, u64 = ctypes.c_int64, ctypes.c_uint64
+        lib.tape_new.restype = h
+        lib.tape_new.argtypes = [u64, u64p, u64, u64p, u64p, u64, u64]
+        lib.tape_free.argtypes = [h]
+        for f in ("tape_load", "tape_const"):
+            getattr(lib, f).restype = i64
+            getattr(lib, f).argtypes = [h, u64]
+        lib.tape_arith.restype = i64
+        lib.tape_arith.argtypes = [h, i64, i64, i64, u64, u64, u64]
+        lib.tape_sel.restype = i64
+        lib.tape_sel.argtypes = [h, i64, i64, i64]
+        lib.tape_assert_eq.restype = i64
+        lib.tape_assert_eq.argtypes = [h, i64, i64]
+        lib.tape_pose.restype = i64
+        lib.tape_pose.argtypes = [h, ctypes.POINTER(i64)]
+        lib.tape_bind_public.restype = i64
+        lib.tape_bind_public.argtypes = [h, i64, u64]
+        lib.tape_value.restype = u64
+        lib.tape_value.argtypes = [h, i64]
+        for f in ("tape_n_rows", "tape_n_alloc", "tape_n_pose"):
+            getattr(lib, f).restype = u64
+            getattr(lib, f).argtypes = [h]
+        lib.tape_get_publics.restype = u64
+        lib.tape_get_publics.argtypes = [h, u64p]
+        lib.tape_export_trace.argtypes = [h, u64, u64, u64p, u64]
+        lib.tape_count_pose.restype = u64
+        lib.tape_count_pose.argtypes = [h, u64, u64]
+        lib.tape_export_pose.argtypes = [h, u64, u64, u64p]
+        lib.tape_live_at.restype = u64
+        lib.tape_live_at.argtypes = [h, i64, ctypes.c_void_p,
+                                     ctypes.c_void_p]
+        lib.tape_count_ops.restype = u64
+        lib.tape_count_ops.argtypes = [h, u64, u64]
+        lib.tape_export_ops.argtypes = [h, u64, u64, u64p]
+        lib.tape_ram_size.restype = u64
+        lib.tape_ram_size.argtypes = [h, u64, u64, u64p, u64, u64]
+        lib.tape_ram_fill.restype = u64
+        lib.tape_ram_fill.argtypes = [h, u64, u64, u64p, u64, u64,
+                                      u64p, u64, u64p, u64]
         _lib = lib
     except Exception:
         _lib = False
@@ -52,6 +100,13 @@ def _load():
 
 def available() -> bool:
     return bool(_load())
+
+
+def lib_handle():
+    """The raw ctypes library (None when unavailable) — for callers that
+    hold a native-side handle (recursion/vm.py NativeTape)."""
+    lib = _load()
+    return lib if lib else None
 
 
 def keccak256(data: bytes) -> bytes:
@@ -78,6 +133,55 @@ def gl_suffix_sum(a: np.ndarray) -> np.ndarray:
     out = np.empty_like(a)
     lib.gl_suffix_sum(a, out, len(a))
     return out
+
+
+def _poseidon_tables(params):
+    """Flat (rc, circ, diag, half_full, n_partial) uint64 views of a
+    PoseidonParams, cached per params object."""
+    key = id(params)
+    hit = _POSEIDON_TABLES.get(key)
+    if hit is not None:
+        return hit
+    rc = np.array(params.round_constants, dtype=np.uint64)
+    circ = np.array(params.mds_circ, dtype=np.uint64)
+    diag = np.array(params.mds_diag, dtype=np.uint64)
+    out = (rc, circ, diag, params.half_full_rounds, params.n_partial_rounds)
+    _POSEIDON_TABLES[key] = out
+    return out
+
+
+_POSEIDON_TABLES: dict = {}
+
+
+def poseidon_permute_many(states: np.ndarray, params) -> np.ndarray:
+    """Batch Poseidon permutation over (n, 12) uint64 states (in place on
+    a copy; returns the permuted array). None if the library is absent or
+    the instance shape isn't width-12/x^7."""
+    lib = _load()
+    if not lib or params.width != 12 or params.sbox_exp != 7:
+        return None
+    rc, circ, diag, hf, npart = _poseidon_tables(params)
+    states = np.ascontiguousarray(states, dtype=np.uint64)
+    lib.poseidon_permute_many(rc, circ, diag, hf, npart, states,
+                              states.shape[0])
+    return states
+
+
+def poseidon_hash_leaves(elems: np.ndarray, offsets: np.ndarray,
+                         params) -> np.ndarray:
+    """Digest (4 elements each) of n leaves given as a flat element stream
+    with CSR-style offsets (len n+1); hash_or_noop semantics per leaf."""
+    lib = _load()
+    if not lib or params.width != 12 or params.sbox_exp != 7:
+        return None
+    rc, circ, diag, hf, npart = _poseidon_tables(params)
+    elems = np.ascontiguousarray(elems, dtype=np.uint64)
+    offsets = np.ascontiguousarray(offsets, dtype=np.uint64)
+    n = len(offsets) - 1
+    out = np.empty(4 * n, dtype=np.uint64)
+    lib.poseidon_hash_leaves(rc, circ, diag, hf, npart, elems, offsets,
+                             n, out)
+    return out.reshape(n, 4)
 
 
 def gl_vec_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:

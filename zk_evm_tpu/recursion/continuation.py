@@ -132,9 +132,11 @@ class TapeChunk:
     after: dict
 
 
-def split_tape(tape: vm.Tape, rows_log: int) -> list[TapeChunk]:
+def split_tape(tape, rows_log: int) -> list[TapeChunk]:
     """Slice a finalized-able tape into 2^rows_log-op chunks with exact
     single-assignment liveness at every boundary."""
+    if isinstance(tape, vm.NativeTape):
+        return _split_tape_native(tape, rows_log)
     from ..tables.poseidon import PoseidonSimpleOp
     assert all(v is not None for v in tape.public_inputs), \
         "unbound public inputs"
@@ -190,7 +192,38 @@ def split_tape(tape: vm.Tape, rows_log: int) -> list[TapeChunk]:
     return chunks
 
 
-def prove_chunked(tape: vm.Tape, config, rows_log: int):
+def _split_tape_native(tape: "vm.NativeTape",
+                       rows_log: int) -> list[TapeChunk]:
+    """NativeTape fast path: traces, liveness and RAM traces come out of
+    the C++ core as finished arrays (same chunk semantics as the python
+    path; equality asserted in tests/test_tapecore.py)."""
+    assert all(v is not None for v in tape.public_inputs), \
+        "unbound public inputs"
+    lay = tape.lay
+    C = 1 << rows_log
+    n_ops = len(tape.rows)
+    n_chunks = (n_ops + C - 1) // C
+    if n_chunks <= 1:
+        raise ValueError("tape fits one chunk; use Tape.finalize")
+    chunks = []
+    for k in range(n_chunks):
+        lo, hi = k * C, min((k + 1) * C, n_ops)
+        trace = tape.export_trace(lo, hi, C)
+        known = trace[:lay["NUM_KNOWN"]].copy()
+        stark = vm.RvmStark(npub=tape.npub, known=known, clk_base=lo)
+        b_addrs, b_vals = tape.live_at(lo)
+        a_addrs, a_vals = tape.live_at(hi)
+        ram_trace = tape.ram_trace(lo, hi, before_addrs=b_addrs,
+                                   export_addrs=a_addrs)
+        chunks.append(TapeChunk(
+            index=k, clk_base=lo, stark=stark, rvm_trace=trace,
+            ram_trace=ram_trace, pose_ops=tape.export_pose_ops(lo, hi),
+            before={int(a): int(v) for a, v in zip(b_addrs, b_vals)},
+            after={int(a): int(v) for a, v in zip(a_addrs, a_vals)}))
+    return chunks
+
+
+def prove_chunked(tape, config, rows_log: int):
     """Prove every chunk as its own 5-table system. Returns
     (chunks, [(starks, AllProof)], public_inputs)."""
     from ..stark import prove_all

@@ -88,7 +88,45 @@ class Cell:
     addr: int
 
 
-class Tape:
+class _TapeOps:
+    """Composite helpers shared by the python and native tape builders;
+    every one bottoms out in the primitive ops (load/const/arith/sel/
+    assert_eq/pose/bind_public/value)."""
+
+    def zero(self) -> Cell:
+        return self.const(0)
+
+    def one(self) -> Cell:
+        return self.const(1)
+
+    def add(self, a: Cell, b: Cell) -> Cell:
+        return self.arith(a, self.one(), b, c2=1, c0=1)
+
+    def sub(self, a: Cell, b: Cell) -> Cell:
+        return self.arith(a, self.one(), b, c2=1, c0=P - 1)
+
+    def mul(self, a: Cell, b: Cell) -> Cell:
+        return self.arith(a, b, c2=1)
+
+    def mul_add(self, a: Cell, b: Cell, c: Cell) -> Cell:
+        return self.arith(a, b, c, c2=1, c0=1)
+
+    def scale(self, a: Cell, k: int, c1: int = 0) -> Cell:
+        return self.arith(a, self.one(), c2=k % P, c1=c1)
+
+    def lin(self, k1: int, a: Cell, k2: int, b: Cell) -> Cell:
+        return self.arith(a, self.one(), b, c2=k1 % P, c0=k2 % P)
+
+    def assert_zero(self, a: Cell) -> None:
+        self.assert_eq(a, self.zero())
+
+    def assert_bool(self, a: Cell) -> None:
+        """a*(a-1) == 0."""
+        t = self.arith(a, a, a, c2=1, c0=P - 1)
+        self.assert_zero(t)
+
+
+class PyTape(_TapeOps):
     """Single-pass program + witness builder. Ops append one program row
     and execute concretely; re-building with a different same-shape proof
     yields the identical program (asserted in tests)."""
@@ -248,39 +286,6 @@ class Tape:
         assert self.public_inputs[k] is None, f"public input {k} rebound"
         self.public_inputs[k] = v
 
-    # -- composite helpers ---------------------------------------------------
-    def zero(self) -> Cell:
-        return self.const(0)
-
-    def one(self) -> Cell:
-        return self.const(1)
-
-    def add(self, a: Cell, b: Cell) -> Cell:
-        return self.arith(a, self.one(), b, c2=1, c0=1)
-
-    def sub(self, a: Cell, b: Cell) -> Cell:
-        return self.arith(a, self.one(), b, c2=1, c0=P - 1)
-
-    def mul(self, a: Cell, b: Cell) -> Cell:
-        return self.arith(a, b, c2=1)
-
-    def mul_add(self, a: Cell, b: Cell, c: Cell) -> Cell:
-        return self.arith(a, b, c, c2=1, c0=1)
-
-    def scale(self, a: Cell, k: int, c1: int = 0) -> Cell:
-        return self.arith(a, self.one(), c2=k % P, c1=c1)
-
-    def lin(self, k1: int, a: Cell, k2: int, b: Cell) -> Cell:
-        return self.arith(a, self.one(), b, c2=k1 % P, c0=k2 % P)
-
-    def assert_zero(self, a: Cell) -> None:
-        self.assert_eq(a, self.zero())
-
-    def assert_bool(self, a: Cell) -> None:
-        """a*(a-1) == 0."""
-        t = self.arith(a, a, a, c2=1, c0=P - 1)
-        self.assert_zero(t)
-
     def value(self, cell: Cell) -> int:
         return self.mem[cell.addr]
 
@@ -306,6 +311,193 @@ class Tape:
         pose_ops = [PoseidonSimpleOp(tuple(i)) for i in self.pose_inputs]
         return (stark, trace, ram_trace, pose_ops,
                 [int(v) for v in self.public_inputs])
+
+
+class _LenOnly:
+    """Shim standing in for NativeTape.rows (length queries only; row
+    payloads live in the C++ core)."""
+
+    def __init__(self, n: int):
+        self._n = n
+
+    def __len__(self) -> int:
+        return self._n
+
+
+class NativeTape(_TapeOps):
+    """Tape builder backed by the C++ core (native/tapecore.cpp): rows,
+    single-assignment RAM, liveness and the RAM-trace builder all live in
+    struct-of-array C++ storage; each op is one ctypes call. Semantics
+    are an exact twin of PyTape (tests/test_tapecore.py asserts
+    bit-identical traces)."""
+
+    def __init__(self, npub: int = 0):
+        import ctypes
+        from .. import native
+        from ..hash import poseidon_params as pp
+        lib = native.lib_handle()
+        assert lib, "native tape core unavailable"
+        self._lib = lib
+        self.npub = npub
+        self.lay = layout(npub)
+        params = pp.default_params()
+        rc = np.array(params.round_constants, dtype=np.uint64)
+        circ = np.array(params.mds_circ, dtype=np.uint64)
+        diag = np.array(params.mds_diag, dtype=np.uint64)
+        self._h = lib.tape_new(npub, rc, len(rc), circ, diag,
+                               params.half_full_rounds,
+                               params.n_partial_rounds)
+        self._const_cache: dict[int, Cell] = {}
+        self._publics: list[int | None] = [None] * npub
+        self._i64x12 = ctypes.c_int64 * 12
+        self._empty_u64 = np.empty(0, dtype=np.uint64)
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.tape_free(h)
+            self._h = None
+
+    # -- primitives --------------------------------------------------------
+    def load(self, value: int) -> Cell:
+        return Cell(self._lib.tape_load(self._h, int(value) % P))
+
+    def const(self, value: int) -> Cell:
+        value = int(value) % P
+        cell = self._const_cache.get(value)
+        if cell is None:
+            cell = Cell(self._lib.tape_const(self._h, value))
+            self._const_cache[value] = cell
+        return cell
+
+    def arith(self, a: Cell | None, b: Cell | None, c: Cell | None = None,
+              c2: int = 0, c0: int = 0, c1: int = 0) -> Cell:
+        return Cell(self._lib.tape_arith(
+            self._h,
+            a.addr if a is not None else -1,
+            b.addr if b is not None else -1,
+            c.addr if c is not None else -1,
+            c2 % P, c0 % P, c1 % P))
+
+    def sel(self, bit: Cell, a: Cell, b: Cell) -> Cell:
+        return Cell(self._lib.tape_sel(self._h, bit.addr, a.addr, b.addr))
+
+    def assert_eq(self, a: Cell, b: Cell) -> None:
+        if self._lib.tape_assert_eq(self._h, a.addr, b.addr) != 0:
+            raise AssertionError(
+                f"tape assert_eq failed: {self.value(a)} != "
+                f"{self.value(b)}")
+
+    def pose(self, cells: list[Cell]) -> list[Cell]:
+        assert len(cells) == 12
+        base = self._lib.tape_pose(
+            self._h, self._i64x12(*[c.addr for c in cells]))
+        return [Cell(base + j) for j in range(12)]
+
+    def bind_public(self, cell: Cell, k: int) -> None:
+        assert 0 <= k < self.npub
+        if self._lib.tape_bind_public(self._h, cell.addr, k) != 0:
+            raise AssertionError(f"public input {k} rebound")
+        self._publics[k] = self.value(cell)
+
+    def value(self, cell: Cell) -> int:
+        return int(self._lib.tape_value(self._h, cell.addr))
+
+    # -- introspection (compat with PyTape consumers) -----------------------
+    @property
+    def rows(self) -> _LenOnly:
+        return _LenOnly(int(self._lib.tape_n_rows(self._h)))
+
+    @property
+    def public_inputs(self) -> list[int | None]:
+        return list(self._publics)
+
+    @property
+    def ram_ops(self) -> list:
+        """Materialized (test/debug only — production paths use the
+        in-core RAM trace builder)."""
+        from . import ram
+        n_rows = len(self.rows)
+        n = int(self._lib.tape_count_ops(self._h, 0, n_rows))
+        out = np.zeros((n, 4), dtype=np.uint64)
+        self._lib.tape_export_ops(self._h, 0, n_rows, out)
+        return [ram.RamOp(int(ts), int(addr), bool(rd), int(val))
+                for ts, addr, rd, val in out]
+
+    # -- bulk exports --------------------------------------------------------
+    def export_trace(self, lo: int, hi: int, n_pad: int) -> np.ndarray:
+        trace = np.zeros((self.lay["NUM_COLUMNS"], n_pad), dtype=np.uint64)
+        self._lib.tape_export_trace(self._h, lo, hi, trace, n_pad)
+        trace[self.lay["CLK"]] = np.arange(n_pad, dtype=np.uint64)
+        return trace
+
+    def export_pose_ops(self, lo: int, hi: int) -> list:
+        from ..tables.poseidon import PoseidonSimpleOp
+        n = int(self._lib.tape_count_pose(self._h, lo, hi))
+        out = np.zeros((n, 12), dtype=np.uint64)
+        if n:
+            self._lib.tape_export_pose(self._h, lo, hi, out)
+        return [PoseidonSimpleOp(tuple(int(v) for v in row))
+                for row in out]
+
+    def live_at(self, boundary: int) -> tuple[np.ndarray, np.ndarray]:
+        """(addrs, values) of cells written before `boundary` and read at
+        or after it — ascending-address order."""
+        n = int(self._lib.tape_live_at(self._h, boundary, None, None))
+        addrs = np.zeros(n, dtype=np.uint64)
+        vals = np.zeros(n, dtype=np.uint64)
+        if n:
+            self._lib.tape_live_at(self._h, boundary,
+                                   addrs.ctypes.data, vals.ctypes.data)
+        return addrs, vals
+
+    def ram_trace(self, lo: int, hi: int,
+                  before_addrs: np.ndarray | None = None,
+                  export_addrs: np.ndarray | None = None,
+                  min_rows: int = 2) -> np.ndarray:
+        before = np.ascontiguousarray(
+            before_addrs if before_addrs is not None else self._empty_u64,
+            dtype=np.uint64)
+        export = np.sort(np.ascontiguousarray(
+            export_addrs if export_addrs is not None else self._empty_u64,
+            dtype=np.uint64))
+        n = int(self._lib.tape_ram_size(self._h, lo, hi, before,
+                                        len(before), min_rows))
+        assert n > 0, "no RAM ops"
+        out = np.zeros((10, n), dtype=np.uint64)
+        marked = int(self._lib.tape_ram_fill(
+            self._h, lo, hi, before, len(before), min_rows,
+            export, len(export), out, n))
+        assert marked == len(export), "export addresses never touched"
+        return out
+
+    # -- trace generation ----------------------------------------------------
+    def finalize(self, min_rows: int = 2):
+        """Returns (RvmStark, rvm_trace, ram_trace, poseidon_ops,
+        public_inputs) — same contract as PyTape.finalize."""
+        assert all(v is not None for v in self._publics), \
+            "unbound public inputs"
+        lay = self.lay
+        n_ops = len(self.rows)
+        n = max(min_rows, 2)
+        while n < n_ops:
+            n *= 2
+        trace = self.export_trace(0, n_ops, n)
+        known = trace[:lay["NUM_KNOWN"]].copy()
+        stark = RvmStark(npub=self.npub, known=known)
+        ram_trace = self.ram_trace(0, n_ops)
+        pose_ops = self.export_pose_ops(0, n_ops)
+        return (stark, trace, ram_trace, pose_ops,
+                [int(v) for v in self._publics])
+
+
+def Tape(npub: int = 0):
+    """Tape builder factory: the C++-core builder when the native host
+    library is available, the pure-python twin otherwise."""
+    from .. import native
+    if native.available():
+        return NativeTape(npub)
+    return PyTape(npub)
 
 
 # -- CTL views ----------------------------------------------------------------
