@@ -203,6 +203,37 @@ void poseidon_hash_leaves(const uint64_t* rc, const uint64_t* circ,
   }
 }
 
+// Batched field inversion (Montgomery trick): one Fermat inverse + 3n
+// muls. Zeros invert to zero (the convention the trace generators use
+// for "inverse-or-zero" columns).
+void gl_batch_inv(const uint64_t* a, uint64_t* out, uint64_t n) {
+  // prefix products, mapping zero -> 1
+  uint64_t acc = 1;
+  for (uint64_t i = 0; i < n; i++) {
+    out[i] = acc;  // product of a[0..i) (zeros skipped)
+    uint64_t v = a[i];
+    if (v) acc = gl_mul(acc, v);
+  }
+  // acc^-1 via Fermat (p-2 = 0xfffffffeffffffff)
+  uint64_t inv = 1, base = acc;
+  uint64_t e = 0xfffffffeffffffffULL;
+  while (e) {
+    if (e & 1) inv = gl_mul(inv, base);
+    base = gl_mul(base, base);
+    e >>= 1;
+  }
+  for (uint64_t i = n; i-- > 0;) {
+    uint64_t v = a[i];
+    if (v) {
+      uint64_t r = gl_mul(inv, out[i]);
+      inv = gl_mul(inv, v);
+      out[i] = r;
+    } else {
+      out[i] = 0;
+    }
+  }
+}
+
 // cumulative suffix sums mod p (logUp running-sum generation on host)
 void gl_suffix_sum(const uint64_t* a, uint64_t* out, uint64_t n) {
   uint64_t acc = 0;

@@ -82,3 +82,18 @@ def test_memory_rejects_read_mutation():
     trace, _ = mem.generate_trace(ops)
     with pytest.raises(AssertionError):
         check_constraints(mem.MemoryStark(), trace)
+
+
+def test_vectorized_trace_matches_reference():
+    """generate_trace (vectorized) is bit-identical to generate_trace_py
+    (the row-at-a-time reference), including value limbs, aux columns,
+    pruning, frequencies and the MemAfter export."""
+    ops = sample_ops()
+    mb = [((0, int(Segment.Code), 3), 0x60),
+          ((0, int(Segment.ShiftTable), 0), 1)]
+    for kwargs in ({}, {"mem_before_values": mb},
+                   {"mem_before_values": mb, "stale_contexts": [1]}):
+        t1, a1 = mem.generate_trace(ops, **kwargs)
+        t2, a2 = mem.generate_trace_py(ops, **kwargs)
+        assert np.array_equal(t1, t2)
+        assert a1 == a2

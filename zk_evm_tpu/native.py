@@ -39,6 +39,10 @@ def _load():
             np.ctypeslib.ndpointer(np.uint64, flags="C"),
             np.ctypeslib.ndpointer(np.uint64, flags="C"),
             ctypes.c_uint64]
+        lib.gl_batch_inv.argtypes = [
+            np.ctypeslib.ndpointer(np.uint64, flags="C"),
+            np.ctypeslib.ndpointer(np.uint64, flags="C"),
+            ctypes.c_uint64]
         lib.gl_vec_mul.argtypes = lib.gl_vec_add.argtypes = [
             np.ctypeslib.ndpointer(np.uint64, flags="C"),
             np.ctypeslib.ndpointer(np.uint64, flags="C"),
@@ -132,6 +136,21 @@ def gl_suffix_sum(a: np.ndarray) -> np.ndarray:
         return out
     out = np.empty_like(a)
     lib.gl_suffix_sum(a, out, len(a))
+    return out
+
+
+def gl_batch_inv(a: np.ndarray) -> np.ndarray:
+    """Elementwise field inverse (zeros map to zero) via the Montgomery
+    batch trick; exact python fallback."""
+    lib = _load()
+    a = np.ascontiguousarray(a, dtype=np.uint64)
+    out = np.empty_like(a)
+    if not lib:
+        from .field import host
+        for i, v in enumerate(a):
+            out[i] = host.finv(int(v)) if v else 0
+        return out
+    lib.gl_batch_inv(a, out, len(a))
     return out
 
 

@@ -94,11 +94,7 @@ def fill_gaps(ops: list[MemoryOp]) -> None:
                 curr = d
 
 
-def generate_trace(memory_ops: list[MemoryOp],
-                   mem_before_values=(),
-                   stale_contexts: list[int] = ()):
-    """Returns (trace, mem_after_values). mem_before_values: list of
-    ((context, segment, virt), value) written at timestamp 0."""
+def _sorted_padded_ops(memory_ops, mem_before_values):
     ops = list(memory_ops)
     for (ctx, seg, virt), val in mem_before_values:
         ops.append(MemoryOp(True, 0, ctx, seg, virt, False, val))
@@ -114,6 +110,117 @@ def generate_trace(memory_ops: list[MemoryOp],
     while len(ops) < n:
         ops.append(pad)
     ops.sort(key=MemoryOp.sorting_key)
+    return ops, n
+
+
+def generate_trace(memory_ops: list[MemoryOp],
+                   mem_before_values=(),
+                   stale_contexts: list[int] = ()):
+    """Returns (trace, mem_after_values). mem_before_values: list of
+    ((context, segment, virt), value) written at timestamp 0.
+
+    Vectorized twin of generate_trace_py (bit-identical; asserted in
+    tests/test_memory_table.py) — the row loops dominated witness-gen
+    wall time on real blocks."""
+    from ..field import host
+    from .. import native
+    ops, n = _sorted_padded_ops(memory_ops, mem_before_values)
+
+    trace = np.zeros((NUM_COLUMNS, n), dtype=np.uint64)
+    trace[FILTER] = np.fromiter((op.filter for op in ops), np.uint64, n)
+    ts = np.fromiter((op.timestamp for op in ops), np.uint64, n)
+    trace[TIMESTAMP] = ts
+    trace[TIMESTAMP_INV] = native.gl_batch_inv(ts)
+    trace[IS_READ] = np.fromiter((op.is_read for op in ops), np.uint64, n)
+    ctx = np.fromiter((op.context for op in ops), np.uint64, n)
+    seg = np.fromiter((op.segment for op in ops), np.uint64, n)
+    virt = np.fromiter((op.virt for op in ops), np.uint64, n)
+    trace[ADDR_CONTEXT], trace[ADDR_SEGMENT], trace[ADDR_VIRTUAL] = \
+        ctx, seg, virt
+    limbs = np.frombuffer(
+        b"".join(int(op.value).to_bytes(32, "little") for op in ops),
+        dtype=np.uint32).reshape(n, VALUE_LIMBS)
+    trace[VALUE_COLS[0]:VALUE_COLS[-1] + 1] = limbs.T
+
+    # first-change flags + range check (cyclic next row)
+    nctx, nseg = np.roll(ctx, -1), np.roll(seg, -1)
+    nvirt, nts = np.roll(virt, -1), np.roll(ts, -1)
+    cfc = ctx != nctx
+    sfc = ~cfc & (seg != nseg)
+    vfc = ~cfc & ~sfc & (virt != nvirt)
+    trace[CONTEXT_FIRST_CHANGE] = cfc
+    trace[SEGMENT_FIRST_CHANGE] = sfc
+    trace[VIRTUAL_FIRST_CHANGE] = vfc
+    i64 = np.int64
+    rc = np.where(
+        cfc, nctx.astype(i64) - ctx.astype(i64) - 1,
+        np.where(sfc, nseg.astype(i64) - seg.astype(i64) - 1,
+                 np.where(vfc, nvirt.astype(i64) - virt.astype(i64) - 1,
+                          nts.astype(i64) - ts.astype(i64))))
+    rc[n - 1] = 0
+    assert ((rc >= 0) & (rc < n)).all(), \
+        "range check out of bounds; fill_gaps bug"
+    trace[RANGE_CHECK] = rc.astype(np.uint64)
+
+    # aux columns for zero-initialization constraints (small signed
+    # products of unscaled segment indices, reduced into the field)
+    sn = nseg.astype(i64)
+    aux2 = ((sn - Segment.AccountsLinkedList)
+            * (sn - Segment.StorageLinkedList))
+    pre = (sn - Segment.Code) * (sn - Segment.TrieData) * aux2
+    addr_changed = cfc | sfc | vfc
+    init_aux = pre * addr_changed * np.roll(trace[IS_READ], -1).astype(i64)
+
+    def _mod_p(x):
+        out = np.where(x >= 0, x, 0).astype(np.uint64)
+        neg = x < 0
+        out[neg] = np.uint64(host.P) - (-x[neg]).astype(np.uint64)
+        return out
+
+    trace[PREINITIALIZED_SEGMENTS_AUX] = _mod_p(aux2)
+    trace[PREINITIALIZED_SEGMENTS_COL] = _mod_p(pre)
+    trace[INITIALIZE_AUX] = _mod_p(init_aux)
+
+    # stale contexts (context pruning)
+    stale_rows = np.zeros(n, dtype=bool)
+    for c in stale_contexts:
+        trace[STALE_CONTEXTS, c] = c + 1
+        trace[IS_PRUNED, c] = 1
+        mask = ctx == c
+        stale_rows |= mask
+        trace[STALE_CONTEXT_FREQUENCIES, c] = mask.sum()
+    trace[IS_STALE] = stale_rows
+
+    # counter / frequencies / mem_after
+    trace[COUNTER] = np.arange(n, dtype=np.uint64)
+    freq = np.bincount(rc, minlength=n)
+    cs_rows = np.flatnonzero(cfc | sfc)
+    looked_virt = nvirt[cs_rows].astype(np.int64)
+    if len(cs_rows) and cs_rows[-1] == n - 1:
+        looked_virt[-1] = 0
+    assert (looked_virt < n).all(), "first-change virt out of range"
+    freq += np.bincount(looked_virt, minlength=n)[:n]
+    trace[FREQUENCIES] = freq.astype(np.uint64)
+
+    maybe = trace[FILTER].astype(bool) & addr_changed & ~stale_rows
+    trace[MAYBE_IN_MEM_AFTER] = maybe
+    nonzero = limbs.any(axis=1)
+    preinit = np.zeros(n, dtype=bool)
+    for s in PREINITIALIZED_SEGMENTS:
+        preinit |= seg == s
+    after = maybe & (nonzero | preinit)
+    trace[MEM_AFTER_FILTER] = after
+    mem_after = [((int(ctx[r]), int(seg[r]), int(virt[r])), ops[r].value)
+                 for r in np.flatnonzero(after)]
+    return trace, mem_after
+
+
+def generate_trace_py(memory_ops: list[MemoryOp],
+                      mem_before_values=(),
+                      stale_contexts: list[int] = ()):
+    """Row-at-a-time reference twin of generate_trace (kept as the
+    ground-truth oracle for the vectorized path)."""
+    ops, n = _sorted_padded_ops(memory_ops, mem_before_values)
 
     trace = np.zeros((NUM_COLUMNS, n), dtype=np.uint64)
     for r, op in enumerate(ops):

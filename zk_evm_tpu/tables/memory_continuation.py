@@ -29,13 +29,19 @@ def generate_trace(propagated_values) -> np.ndarray:
     rows = len(propagated_values)
     n = max(128, 1 << max(rows - 1, 0).bit_length() if rows else 1)
     trace = np.zeros((NUM_COLUMNS, n), dtype=np.uint64)
-    for r, ((ctx, seg, virt), val) in enumerate(propagated_values):
-        trace[FILTER, r] = 1
-        trace[ADDR_CONTEXT, r] = ctx
-        trace[ADDR_SEGMENT, r] = seg
-        trace[ADDR_VIRTUAL, r] = virt
-        for j, c in enumerate(VALUE_COLS):
-            trace[c, r] = (val >> (32 * j)) & 0xFFFFFFFF
+    if rows:
+        trace[FILTER, :rows] = 1
+        trace[ADDR_CONTEXT, :rows] = np.fromiter(
+            (a[0] for a, _ in propagated_values), np.uint64, rows)
+        trace[ADDR_SEGMENT, :rows] = np.fromiter(
+            (a[1] for a, _ in propagated_values), np.uint64, rows)
+        trace[ADDR_VIRTUAL, :rows] = np.fromiter(
+            (a[2] for a, _ in propagated_values), np.uint64, rows)
+        limbs = np.frombuffer(
+            b"".join(int(v).to_bytes(32, "little")
+                     for _, v in propagated_values),
+            dtype=np.uint32).reshape(rows, 8)
+        trace[VALUE_COLS[0]:VALUE_COLS[-1] + 1, :rows] = limbs.T
     return trace
 
 
