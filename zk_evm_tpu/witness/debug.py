@@ -115,7 +115,7 @@ def dump_error_artifacts(interp, err, out_dir: str | None = None) -> str:
 
     r = interp.registers
     gm = {}
-    d = interp.memory.data.get((0, Segment.GlobalMetadata), {})
+    d = interp.memory.segment_dict(0, Segment.GlobalMetadata)
     for virt, val in sorted(d.items()):
         gm[virt] = hex(val)
     state = {

@@ -182,6 +182,21 @@ class MemoryState:
         m.preinit = {k: list(v) for k, v in self.preinit.items()}
         return m
 
+    # -- shared introspection API (native twin: native_vm.NativeMemory) --
+    def preinit_len(self, seg) -> int:
+        return len(self.preinit.get(seg, ()))
+
+    def max_virt(self, ctx, seg) -> int:
+        d = self.data.get((ctx, seg))
+        return max(d.keys()) if d else -1
+
+    def delete_context(self, ctx) -> None:
+        for key in [k for k in self.data if k[0] == ctx]:
+            del self.data[key]
+
+    def segment_dict(self, ctx, seg) -> dict:
+        return dict(self.data.get((ctx, seg), {}))
+
 
 class SortedPtrs:
     """BTreeMap-lite over bisect: key -> ptr with predecessor queries
@@ -270,8 +285,10 @@ class Interpreter:
     def __init__(self, kernel: Kernel, initial_offset=0,
                  initial_stack=(), prover_inputs=None,
                  halt_offsets=None, max_cycles=50_000_000):
+        from . import native_vm
         self.kernel = kernel
-        self.memory = MemoryState()
+        self.memory = native_vm.make_memory()
+        self._nvm = None   # lazy native core handle (native_vm.ZvmHandle)
         self.registers = Registers(program_counter=initial_offset)
         self.clock = 0
         # (pc, opcode, is_kernel, context, stack-before) per step
@@ -328,14 +345,26 @@ class Interpreter:
         # preload kernel code into context 0's Code segment (zero bytes
         # included: they are part of MemBefore and must round-trip
         # through active_values -> next segment's MemBefore)
-        for i, b in enumerate(kernel.code):
-            self.memory.set(0, Segment.Code, i, b)
+        if hasattr(self.memory, "set_range_u64"):
+            import numpy as np
+            self.memory.set_range_u64(
+                0, Segment.Code, 0,
+                np.frombuffer(bytes(kernel.code),
+                              dtype=np.uint8).astype(np.uint64))
+            shift = np.zeros((256, 4), dtype=np.uint64)
+            rows = np.arange(256)
+            shift[rows, rows // 64] = np.uint64(1) << (rows % 64).astype(
+                np.uint64)
+            self.memory.set_range_u256(0, Segment.ShiftTable, 0, shift)
+        else:
+            for i, b in enumerate(kernel.code):
+                self.memory.set(0, Segment.Code, i, b)
+            # shift table: ShiftTable[i] = 2^i (the CPU shift module
+            # reads it through channel 2; generation/mod.rs:447-461 puts
+            # it in memory before execution so it lands in MemBefore)
+            for i in range(256):
+                self.memory.set(0, Segment.ShiftTable, i, 1 << i)
         self.code = kernel.code
-        # shift table: ShiftTable[i] = 2^i (the CPU shift module reads it
-        # through channel 2; generation/mod.rs:447-461 puts it in memory
-        # before execution so it lands in MemBefore)
-        for i in range(256):
-            self.memory.set(0, Segment.ShiftTable, i, 1 << i)
         for v in initial_stack:
             self.push(v)
         # MemBefore is exactly kernel code + shift table: the verifier
@@ -487,6 +516,12 @@ class Interpreter:
 
     # -- run loop --------------------------------------------------------
     def run(self):
+        from . import native_vm
+        if isinstance(self.memory, native_vm.NativeMemory):
+            return native_vm.run_native(self)
+        return self._run_py()
+
+    def _run_py(self):
         r = self.registers
         for _ in range(self.max_cycles):
             pc = r.program_counter
@@ -652,7 +687,11 @@ class Interpreter:
         return len(self.trace) - 1
 
     def _rec_arith(self, kind, in0, in1, in2=0, opcode=0, result=None):
-        if self.record_trace:
+        if not self.record_trace:
+            return
+        if self._nvm is not None:
+            self._nvm.record_arith(kind, in0, in1, in2, opcode, result)
+        else:
             self.arith_log.append(
                 (self._step_idx(), (kind, in0, in1, in2, opcode, result)))
 
@@ -661,7 +700,11 @@ class Interpreter:
             self.logic_log.append((self._step_idx(), (op, in0, in1)))
 
     def _rec_bp(self, is_read, ctx, seg, virt, data):
-        if self.record_trace and data:
+        if not (self.record_trace and data):
+            return
+        if self._nvm is not None:
+            self._nvm.record_bp(is_read, ctx, seg, virt, bytes(data))
+        else:
             self.bp_log.append(
                 (self._step_idx(), is_read, (ctx, seg, virt), bytes(data)))
 
@@ -1045,11 +1088,9 @@ class Interpreter:
         if what == "receipt":
             return self.trie_root_ptrs["receipt"]
         if what == "trie_data_size":
-            length = len(self.memory.preinit.get(Segment.TrieData, ()))
-            d = self.memory.data.get((0, Segment.TrieData), {})
-            if d:
-                length = max(length, max(d.keys()) + 1)
-            return length
+            length = self.memory.preinit_len(Segment.TrieData)
+            mv = self.memory.max_virt(0, Segment.TrieData)
+            return max(length, mv + 1)
         raise KernelPanic(f"trie_ptr::{what}")
 
     _FIELDS = {"bn254_base": BN_BASE, "secp256k1_base": SECP_BASE,
@@ -1281,10 +1322,8 @@ class Interpreter:
         sim = Interpreter.__new__(Interpreter)
         sim.kernel = self.kernel
         sim.code = self.code
-        mem = MemoryState()
-        mem.data = {k: dict(v) for k, v in self.memory.data.items()}
-        mem.preinit = {k: list(v) for k, v in self.memory.preinit.items()}
-        sim.memory = mem
+        sim.memory = self.memory.deep_copy()
+        sim._nvm = None
         sim.registers = replace(self.registers)
         sim.clock = 0
         sim.trace = []

@@ -100,8 +100,7 @@ class SegmentDataIterator:
         # guarantees they are never read again, and later snapshots must
         # not resurrect them (get_active_memory, interpreter.rs:621-645).
         for ctx in set(interp.stale_contexts):
-            for key in [k for k in interp.memory.data if k[0] == ctx]:
-                del interp.memory.data[key]
+            interp.memory.delete_context(ctx)
         # NOTE: the execution snapshot is a superset of the bus-level
         # memory (our interpreter spills the stack top eagerly; the CPU
         # table keeps it in a column). The TABLE MemBefore of the next
