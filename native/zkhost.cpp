@@ -177,6 +177,64 @@ void poseidon_permute_many(const uint64_t* rc, const uint64_t* circ,
   }
 }
 
+// Full witness of one Poseidon permutation per input: the state after
+// every round, each S-box's cube, and the digest-limb inverses — the
+// Poseidon TABLE's generate_perm (tables/poseidon.py _perm_into_row).
+// Round structure: half_full full rounds, n_partial partial, half_full
+// full. x^7 = (x^3)^2 * x with the cube recorded as the witness.
+void poseidon_witness_batch(const uint64_t* rc, const uint64_t* circ,
+                            const uint64_t* diag, uint64_t half_full,
+                            uint64_t n_partial, const uint64_t* inp,
+                            uint64_t n, uint64_t* round_states,
+                            uint64_t* cubes_full, uint64_t* cubes_partial,
+                            uint64_t* pinv) {
+  uint64_t n_rounds = 2 * half_full + n_partial;
+  for (uint64_t k = 0; k < n; k++) {
+    uint64_t s[12], x[12], y[12];
+    std::memcpy(s, inp + 12 * k, 96);
+    uint64_t* rs = round_states + k * n_rounds * 12;
+    uint64_t* cf = cubes_full + k * 2 * half_full * 12;
+    uint64_t* cp = cubes_partial + k * n_partial;
+    const uint64_t* r = rc;
+    uint64_t full_pos = 0, par_pos = 0;
+    for (uint64_t rnd = 0; rnd < n_rounds; rnd++, r += 12) {
+      for (int i = 0; i < 12; i++) x[i] = gl_add(s[i], r[i]);
+      bool full = rnd < half_full || rnd >= half_full + n_partial;
+      if (full) {
+        for (int i = 0; i < 12; i++) {
+          uint64_t cube = gl_mul(gl_mul(x[i], x[i]), x[i]);
+          cf[full_pos * 12 + i] = cube;
+          y[i] = gl_mul(gl_mul(cube, cube), x[i]);
+        }
+        full_pos++;
+      } else {
+        uint64_t cube = gl_mul(gl_mul(x[0], x[0]), x[0]);
+        cp[par_pos++] = cube;
+        y[0] = gl_mul(gl_mul(cube, cube), x[0]);
+        for (int i = 1; i < 12; i++) y[i] = x[i];
+      }
+      poseidon_mds12(circ, diag, y, s);
+      std::memcpy(rs + rnd * 12, s, 96);
+    }
+    for (int i = 0; i < 4; i++) {
+      uint64_t hi = s[i] >> 32;
+      uint64_t d = gl_reduce128((unsigned __int128)hi + P - 0xffffffffULL);
+      if (d == 0) {
+        pinv[4 * k + i] = 0;
+        continue;
+      }
+      // Fermat inverse
+      uint64_t inv = 1, base = d, e = 0xfffffffeffffffffULL;
+      while (e) {
+        if (e & 1) inv = gl_mul(inv, base);
+        base = gl_mul(base, base);
+        e >>= 1;
+      }
+      pinv[4 * k + i] = inv;
+    }
+  }
+}
+
 // Overwrite-mode rate-8 sponge over a flat element stream: for each input
 // span (given by offsets[i]..offsets[i+1]) compute the 4-element digest —
 // with the <=4-element hash_or_noop passthrough — into digests[4*i..].

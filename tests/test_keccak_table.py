@@ -63,3 +63,13 @@ def test_keccak_stark_roundtrip():
                              arity_bits=2, final_poly_bits=2))
     proof = prove_stark(kk.KeccakStark(), trace, cfg, Challenger())
     verify_stark(kk.KeccakStark(), proof, cfg, Challenger())
+
+
+def test_vectorized_trace_matches_reference():
+    import random
+    rng = random.Random(5)
+    inputs = [([rng.getrandbits(64) for _ in range(25)], 3 + 7 * i)
+              for i in range(5)]
+    t1 = kk.generate_trace(inputs)
+    t2 = kk.generate_trace_py(inputs)
+    assert np.array_equal(t1, t2)

@@ -123,3 +123,13 @@ def test_poseidon_roundtrip():
                              arity_bits=2, final_poly_bits=2))
     proof = prove_stark(ps.PoseidonStark(), trace, cfg, Challenger())
     verify_stark(ps.PoseidonStark(), proof, cfg, Challenger())
+
+
+def test_vectorized_simple_trace_matches_reference():
+    import random
+    rng = random.Random(3)
+    ops = [ps.PoseidonSimpleOp(tuple(rng.randrange(ps.P)
+                                     for _ in range(12)))
+           for _ in range(5)]
+    assert np.array_equal(ps.generate_trace(ops, min_rows=16),
+                          ps.generate_trace_py(ops, min_rows=16))

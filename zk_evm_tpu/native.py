@@ -55,6 +55,9 @@ def _load():
         lib.poseidon_hash_leaves.argtypes = [
             u64p, u64p, u64p, ctypes.c_uint64, ctypes.c_uint64,
             u64p, u64p, ctypes.c_uint64, u64p]
+        lib.poseidon_witness_batch.argtypes = [
+            u64p, u64p, u64p, ctypes.c_uint64, ctypes.c_uint64,
+            u64p, ctypes.c_uint64, u64p, u64p, u64p, u64p]
         # tape core (recursion/vm.py NativeTape)
         h = ctypes.c_void_p
         i64, u64 = ctypes.c_int64, ctypes.c_uint64
@@ -201,6 +204,26 @@ def poseidon_hash_leaves(elems: np.ndarray, offsets: np.ndarray,
     lib.poseidon_hash_leaves(rc, circ, diag, hf, npart, elems, offsets,
                              n, out)
     return out.reshape(n, 4)
+
+
+def poseidon_witness_batch(states: np.ndarray, params):
+    """Per-permutation AIR witness: (round_states (n, n_rounds*12),
+    cubes_full (n, 2*half_full*12), cubes_partial (n, n_partial),
+    pinv (n, 4)). None when the library is absent."""
+    lib = _load()
+    if not lib or params.width != 12 or params.sbox_exp != 7:
+        return None
+    rc, circ, diag, hf, npart = _poseidon_tables(params)
+    states = np.ascontiguousarray(states, dtype=np.uint64)
+    n = states.shape[0]
+    n_rounds = 2 * hf + npart
+    rs = np.empty((n, n_rounds * 12), dtype=np.uint64)
+    cf = np.empty((n, 2 * hf * 12), dtype=np.uint64)
+    cp = np.empty((n, npart), dtype=np.uint64)
+    pinv = np.empty((n, 4), dtype=np.uint64)
+    lib.poseidon_witness_batch(rc, circ, diag, hf, npart, states, n,
+                               rs, cf, cp, pinv)
+    return rs, cf, cp, pinv
 
 
 def gl_vec_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -503,10 +503,8 @@ def generate_trace(ops: list[Op], min_rows: int = RANGE_MAX,
     while n < len(rows):
         n *= 2
     trace = np.zeros((NUM_COLUMNS, n), dtype=np.uint64)
-    for r, row in enumerate(rows):
-        for c, v in enumerate(row):
-            if v:
-                trace[c, r] = v
+    if rows:
+        trace[:, :len(rows)] = np.array(rows, dtype=np.uint64).T
     # range counter: 0..range_max-1 then clamped
     trace[RANGE_COUNTER, :range_max] = np.arange(range_max, dtype=np.uint64)
     trace[RANGE_COUNTER, range_max:] = range_max - 1

@@ -145,7 +145,82 @@ def ctl_filter_outputs() -> Filter:
 
 def generate_trace(inputs: list[tuple[list[int], int]],
                    min_rows: int = 128) -> np.ndarray:
-    """inputs: list of (25 u64 lanes [lane(x,y)=state[5y+x]], timestamp)."""
+    """inputs: list of (25 u64 lanes [lane(x,y)=state[5y+x]], timestamp).
+
+    Vectorized over the permutation batch (bit-identical to the
+    row-at-a-time generate_trace_py; asserted in tests)."""
+    rows_used = len(inputs) * NUM_ROUNDS
+    n = max(min_rows, 1)
+    while n < rows_used:
+        n *= 2
+    trace = np.zeros((NUM_COLUMNS, n), dtype=np.uint64)
+    if not inputs:
+        return trace
+    k = len(inputs)
+    state = np.array([l for l, _ in inputs],
+                     dtype=np.uint64).reshape(k, 5, 5)  # [i, y, x]
+    ts = np.array([t for _, t in inputs], dtype=np.uint64)
+    base = np.arange(k) * NUM_ROUNDS
+    Z = np.arange(64, dtype=np.uint64)
+    M32, S32, ONE = (np.uint64(0xFFFFFFFF), np.uint64(32), np.uint64(1))
+
+    def rotl(v, nn):
+        nn %= 64
+        if nn == 0:
+            return v
+        return (v << np.uint64(nn)) | (v >> np.uint64(64 - nn))
+
+    for r in range(NUM_ROUNDS):
+        idx = base + r
+        trace[reg_step(r), idx] = 1
+        trace[TIMESTAMP, idx] = ts
+        for x in range(5):
+            for y in range(5):
+                a = state[:, y, x]
+                ra = reg_a(x, y)
+                trace[ra, idx] = a & M32
+                trace[ra + 1, idx] = a >> S32
+        c = np.bitwise_xor.reduce(state, axis=1)      # [i, x]
+        d = np.empty_like(c)
+        for x in range(5):
+            d[:, x] = c[:, (x + 4) % 5] ^ rotl(c[:, (x + 1) % 5], 1)
+            cp = c[:, x] ^ d[:, x]
+            rc0 = reg_c(x, 0)
+            trace[rc0:rc0 + 64, idx] = ((c[:, x, None] >> Z) & ONE).T
+            rcp0 = reg_c_prime(x, 0)
+            trace[rcp0:rcp0 + 64, idx] = ((cp[:, None] >> Z) & ONE).T
+        ap = state ^ d[:, None, :]                    # [i, y, x]
+        for x in range(5):
+            for y in range(5):
+                rap0 = reg_a_prime(x, y, 0)
+                trace[rap0:rap0 + 64, idx] = \
+                    ((ap[:, y, x, None] >> Z) & ONE).T
+        b = {}
+        for x in range(5):
+            for y in range(5):
+                b[(y, (2 * x + 3 * y) % 5)] = rotl(ap[:, y, x], R[x][y])
+        app = np.empty_like(state)
+        for x in range(5):
+            for y in range(5):
+                v = b[(x, y)] ^ (~b[((x + 1) % 5, y)]
+                                 & b[((x + 2) % 5, y)])
+                app[:, y, x] = v
+                rapp = reg_app(x, y)
+                trace[rapp, idx] = v & M32
+                trace[rapp + 1, idx] = v >> S32
+        trace[APP00_BITS:APP00_BITS + 64, idx] = \
+            ((app[:, 0, 0, None] >> Z) & ONE).T
+        out00 = app[:, 0, 0] ^ np.uint64(RC[r])
+        trace[APPP00_LO, idx] = out00 & M32
+        trace[APPP00_HI, idx] = out00 >> S32
+        state = app
+        state[:, 0, 0] = out00
+    return trace
+
+
+def generate_trace_py(inputs: list[tuple[list[int], int]],
+                      min_rows: int = 128) -> np.ndarray:
+    """Row-at-a-time reference twin of generate_trace (ground truth)."""
     rows = []
     for lanes, timestamp in inputs:
         state = {(x, y): lanes[5 * y + x] for x in range(5)

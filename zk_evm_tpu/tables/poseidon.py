@@ -171,7 +171,73 @@ def _felts_from_block(block: bytes) -> list[int]:
 
 def generate_trace(ops: list, min_rows: int = 2) -> np.ndarray:
     """(NUM_COLUMNS, n) uint64 trace; padding rows are real permutations of
-    the zero state with all flags clear (poseidon_stark.rs:198-210)."""
+    the zero state with all flags clear (poseidon_stark.rs:198-210).
+
+    Simple ops (the verifier-VM's hashing workload — tens of thousands
+    per wrap tape) run through the native batched witness permutation;
+    general (byte-sponge) ops and the fallback use the python path.
+    Bit-identical to generate_trace_py (asserted in tests)."""
+    from .. import native
+    simple = [op for op in ops if isinstance(op, PoseidonSimpleOp)]
+    if simple and len(simple) == len(ops):
+        params = pp.default_params()
+        inp = np.array([[v % P for v in op.input] for op in simple],
+                       dtype=np.uint64)
+        wit = native.poseidon_witness_batch(inp, params)
+        if wit is not None:
+            rs, cf, cp, pinv = wit
+            k = len(simple)
+            n = max(min_rows, 2)
+            while n < k:
+                n *= 2
+            trace = np.zeros((NUM_COLUMNS, n), dtype=np.uint64)
+            rows = np.arange(k)
+            trace[NOT_PADDING, :k] = 1
+            trace[IS_SIMPLE_OP, :k] = 1
+            trace[IS_FINAL_INPUT_LEN[RATE - 1], :k] = 1
+            trace[INPUT[0]:INPUT[-1] + 1, :k] = inp.T
+            trace[STATE_START:STATE_START + N_ROUNDS * WIDTH, :k] = rs.T
+            trace[CUBED_FULL_START:CUBED_FULL_START
+                  + len(FULL_ROUNDS) * WIDTH, :k] = cf.T
+            trace[CUBED_PARTIAL_START:CUBED_PARTIAL_START + N_PARTIAL,
+                  :k] = cp.T
+            final = rs[:, -WIDTH:]
+            for i in range(DIGEST):
+                trace[DIGEST_COLS[2 * i], :k] = \
+                    final[:, i] & np.uint64(0xFFFFFFFF)
+                trace[DIGEST_COLS[2 * i + 1], :k] = \
+                    final[:, i] >> np.uint64(32)
+            trace[PINV[0]:PINV[-1] + 1, :k] = pinv.T
+            trace[OUTPUT_PARTIAL[0]:OUTPUT_PARTIAL[-1] + 1, :k] = \
+                final[:, DIGEST:].T
+            if n > k:
+                # padding rows: one real zero-state permutation broadcast
+                pad = np.zeros((1, WIDTH), dtype=np.uint64)
+                prs, pcf, pcp, ppinv = native.poseidon_witness_batch(
+                    pad, params)
+                pvec = np.zeros(NUM_COLUMNS, dtype=np.uint64)
+                pvec[STATE_START:STATE_START + N_ROUNDS * WIDTH] = prs[0]
+                pvec[CUBED_FULL_START:CUBED_FULL_START
+                     + len(FULL_ROUNDS) * WIDTH] = pcf[0]
+                pvec[CUBED_PARTIAL_START:CUBED_PARTIAL_START
+                     + N_PARTIAL] = pcp[0]
+                pfinal = prs[0, -WIDTH:]
+                for i in range(DIGEST):
+                    pvec[DIGEST_COLS[2 * i]] = \
+                        pfinal[i] & np.uint64(0xFFFFFFFF)
+                    pvec[DIGEST_COLS[2 * i + 1]] = \
+                        pfinal[i] >> np.uint64(32)
+                pvec[PINV[0]:PINV[-1] + 1] = ppinv[0]
+                pvec[OUTPUT_PARTIAL[0]:OUTPUT_PARTIAL[-1] + 1] = \
+                    pfinal[DIGEST:]
+                trace[:, k:] = pvec[:, None]
+            return trace
+    return generate_trace_py(ops, min_rows)
+
+
+def generate_trace_py(ops: list, min_rows: int = 2) -> np.ndarray:
+    """Row-at-a-time reference twin of generate_trace (ground truth;
+    also the only path for general byte-sponge ops)."""
     params = pp.default_params()
     rows: list[dict] = []
     for op in ops:
