@@ -97,3 +97,21 @@ def test_vectorized_trace_matches_reference():
         t2, a2 = mem.generate_trace_py(ops, **kwargs)
         assert np.array_equal(t1, t2)
         assert a1 == a2
+
+
+def test_array_pipeline_matches_object_path():
+    """derive_memory_ops_arrays + generate_trace_arrays produce the
+    identical trace to the MemoryOp-object reference path."""
+    import numpy as np
+    from zk_evm_tpu.tables import cpu as cputab
+    from zk_evm_tpu.witness import traces as tr
+    from zk_evm_tpu.witness.assembler import combined_kernel
+    from zk_evm_tpu.witness.interpreter import run_kernel
+    kernel = combined_kernel()
+    interp = run_kernel(kernel, "exp", [0xDEADBEEF, 3, 10])
+    cpu_trace, _ = cputab.cpu_rows_from_run(interp)
+    t1, a1 = mem.generate_trace_arrays(
+        tr.derive_memory_ops_arrays(cpu_trace))
+    t2, a2 = mem.generate_trace_py(tr.derive_memory_ops(cpu_trace))
+    assert np.array_equal(t1, t2)
+    assert a1 == a2

@@ -113,33 +113,160 @@ def _sorted_padded_ops(memory_ops, mem_before_values):
     return ops, n
 
 
-def generate_trace(memory_ops: list[MemoryOp],
-                   mem_before_values=(),
-                   stale_contexts: list[int] = ()):
-    """Returns (trace, mem_after_values). mem_before_values: list of
-    ((context, segment, virt), value) written at timestamp 0.
+class MemOpsArrays:
+    """Struct-of-arrays memory ops (the array-native fast path the
+    object pipeline converts into): filter/ts/ctx/seg/virt uint64,
+    is_read uint64(0/1), limbs (n, 8) uint32."""
 
-    Vectorized twin of generate_trace_py (bit-identical; asserted in
-    tests/test_memory_table.py) — the row loops dominated witness-gen
-    wall time on real blocks."""
+    __slots__ = ("filter", "ts", "ctx", "seg", "virt", "is_read", "limbs")
+
+    def __init__(self, filter, ts, ctx, seg, virt, is_read, limbs):
+        self.filter = filter
+        self.ts = ts
+        self.ctx = ctx
+        self.seg = seg
+        self.virt = virt
+        self.is_read = is_read
+        self.limbs = limbs
+
+    def __len__(self):
+        return len(self.ts)
+
+    @staticmethod
+    def concat(parts):
+        return MemOpsArrays(
+            *[np.concatenate([getattr(p, f) for p in parts])
+              for f in ("filter", "ts", "ctx", "seg", "virt", "is_read")],
+            np.concatenate([p.limbs for p in parts], axis=0))
+
+    def take(self, idx):
+        return MemOpsArrays(self.filter[idx], self.ts[idx], self.ctx[idx],
+                            self.seg[idx], self.virt[idx],
+                            self.is_read[idx], self.limbs[idx])
+
+
+def _ops_to_arrays(ops: list[MemoryOp]) -> MemOpsArrays:
+    n = len(ops)
+    return MemOpsArrays(
+        np.fromiter((op.filter for op in ops), np.uint64, n),
+        np.fromiter((op.timestamp for op in ops), np.uint64, n),
+        np.fromiter((op.context for op in ops), np.uint64, n),
+        np.fromiter((op.segment for op in ops), np.uint64, n),
+        np.fromiter((op.virt for op in ops), np.uint64, n),
+        np.fromiter((op.is_read for op in ops), np.uint64, n),
+        np.frombuffer(
+            b"".join(int(op.value).to_bytes(32, "little") for op in ops),
+            dtype=np.uint32).reshape(n, VALUE_LIMBS).copy())
+
+
+def _pairs_to_arrays(pairs) -> MemOpsArrays:
+    """((ctx, seg, virt), value) pairs -> timestamp-0 write ops."""
+    n = len(pairs)
+    return MemOpsArrays(
+        np.ones(n, dtype=np.uint64),
+        np.zeros(n, dtype=np.uint64),
+        np.fromiter((a[0] for a, _ in pairs), np.uint64, n),
+        np.fromiter((a[1] for a, _ in pairs), np.uint64, n),
+        np.fromiter((a[2] for a, _ in pairs), np.uint64, n),
+        np.zeros(n, dtype=np.uint64),
+        np.frombuffer(
+            b"".join(int(v).to_bytes(32, "little") for _, v in pairs),
+            dtype=np.uint32).reshape(n, VALUE_LIMBS).copy())
+
+
+def _lexsorted(a: MemOpsArrays) -> MemOpsArrays:
+    return a.take(np.lexsort((a.ts, a.virt, a.seg, a.ctx)))
+
+
+def _fill_gaps_arrays(a: MemOpsArrays) -> MemOpsArrays:
+    """Vectorized fill_gaps: same dummy-insertion semantics over sorted
+    arrays (twin of fill_gaps; equality asserted in tests)."""
+    if a.virt[0] != 0:
+        front = MemOpsArrays(
+            np.zeros(1, np.uint64), np.ones(1, np.uint64),
+            np.zeros(1, np.uint64), np.zeros(1, np.uint64),
+            np.zeros(1, np.uint64), np.ones(1, np.uint64),
+            np.zeros((1, VALUE_LIMBS), np.uint32))
+        a = MemOpsArrays.concat([front, a])
+    n = len(a)
+    max_rc = (1 << (n - 1).bit_length()) - 1 if n > 1 else 0
+    if n < 2:
+        return a
+    i64 = np.int64
+    ctx0, ctx1 = a.ctx[:-1].astype(i64), a.ctx[1:].astype(i64)
+    seg0, seg1 = a.seg[:-1].astype(i64), a.seg[1:].astype(i64)
+    v0, v1 = a.virt[:-1].astype(i64), a.virt[1:].astype(i64)
+    t0, t1 = a.ts[:-1].astype(i64), a.ts[1:].astype(i64)
+    cs = (ctx0 != ctx1) | (seg0 != seg1)
+    vdiff = ~cs & (v0 != v1)
+    same = ~cs & ~vdiff
+    gap = v1 - v0 - 1
+    dt = t1 - t0
+    m = np.where(cs & (v1 > max_rc), (np.maximum(v1, 1) - 1) // max(max_rc, 1),
+                 0)
+    m = np.where(vdiff & (gap > max_rc),
+                 -(-(gap - max_rc) // (max_rc + 1)), m)
+    m = np.where(same & (dt > max_rc),
+                 (np.maximum(dt, 1) - 1) // max(max_rc, 1), m)
+    tot = int(m.sum())
+    if tot == 0:
+        return a
+    rep = np.repeat(np.arange(n - 1), m)
+    starts = np.cumsum(m) - m
+    j = (np.arange(tot) - np.repeat(starts, m) + 1).astype(i64)
+    b_cs, b_vd = cs[rep], vdiff[rep]
+    d_ctx = np.where(b_cs, ctx1[rep], ctx0[rep])
+    d_seg = np.where(b_cs, seg1[rep], seg0[rep])
+    d_virt = np.where(b_cs, v1[rep] - j * max_rc,
+                      np.where(b_vd, v0[rep] + j * (max_rc + 1), v0[rep]))
+    d_ts = np.where(b_cs, t0[rep] + 1,
+                    np.where(b_vd, t0[rep] + j, t0[rep] + j * max_rc))
+    d_limbs = np.where((b_cs | b_vd)[:, None],
+                       np.zeros((1, VALUE_LIMBS), np.uint32),
+                       a.limbs[:-1][rep])
+    dummies = MemOpsArrays(
+        np.zeros(tot, np.uint64), d_ts.astype(np.uint64),
+        d_ctx.astype(np.uint64), d_seg.astype(np.uint64),
+        d_virt.astype(np.uint64), np.ones(tot, np.uint64),
+        d_limbs.astype(np.uint32))
+    return _lexsorted(MemOpsArrays.concat([a, dummies]))
+
+
+def generate_trace_arrays(ops: MemOpsArrays,
+                          mem_before_values=(),
+                          stale_contexts: list[int] = ()):
+    """Array-native trace generation engine (same output contract as
+    generate_trace_py). mem_before_values: ((ctx, seg, virt), value)
+    pairs written at timestamp 0."""
     from ..field import host
     from .. import native
-    ops, n = _sorted_padded_ops(memory_ops, mem_before_values)
+    parts = [ops]
+    if mem_before_values:
+        parts.append(_pairs_to_arrays(list(mem_before_values)))
+    a = MemOpsArrays.concat(parts) if len(parts) > 1 else ops
+    assert len(a), "no memory ops"
+    a = _fill_gaps_arrays(_lexsorted(a))
+    # pad with dummy reads one past the last address
+    n = 1 << len(a).bit_length()
+    k = n - len(a)
+    pad = MemOpsArrays(
+        np.zeros(k, np.uint64),
+        np.full(k, a.ts[-1] + 1, np.uint64),
+        np.full(k, a.ctx[-1], np.uint64),
+        np.full(k, a.seg[-1], np.uint64),
+        np.full(k, a.virt[-1] + 1, np.uint64),
+        np.ones(k, np.uint64),
+        np.zeros((k, VALUE_LIMBS), np.uint32))
+    a = MemOpsArrays.concat([a, pad])
 
     trace = np.zeros((NUM_COLUMNS, n), dtype=np.uint64)
-    trace[FILTER] = np.fromiter((op.filter for op in ops), np.uint64, n)
-    ts = np.fromiter((op.timestamp for op in ops), np.uint64, n)
+    ts, ctx, seg, virt, limbs = a.ts, a.ctx, a.seg, a.virt, a.limbs
+    trace[FILTER] = a.filter
     trace[TIMESTAMP] = ts
     trace[TIMESTAMP_INV] = native.gl_batch_inv(ts)
-    trace[IS_READ] = np.fromiter((op.is_read for op in ops), np.uint64, n)
-    ctx = np.fromiter((op.context for op in ops), np.uint64, n)
-    seg = np.fromiter((op.segment for op in ops), np.uint64, n)
-    virt = np.fromiter((op.virt for op in ops), np.uint64, n)
+    trace[IS_READ] = a.is_read
     trace[ADDR_CONTEXT], trace[ADDR_SEGMENT], trace[ADDR_VIRTUAL] = \
         ctx, seg, virt
-    limbs = np.frombuffer(
-        b"".join(int(op.value).to_bytes(32, "little") for op in ops),
-        dtype=np.uint32).reshape(n, VALUE_LIMBS)
     trace[VALUE_COLS[0]:VALUE_COLS[-1] + 1] = limbs.T
 
     # first-change flags + range check (cyclic next row)
@@ -210,9 +337,25 @@ def generate_trace(memory_ops: list[MemoryOp],
         preinit |= seg == s
     after = maybe & (nonzero | preinit)
     trace[MEM_AFTER_FILTER] = after
-    mem_after = [((int(ctx[r]), int(seg[r]), int(virt[r])), ops[r].value)
-                 for r in np.flatnonzero(after)]
+    mem_after = []
+    for r in np.flatnonzero(after):
+        v = 0
+        for j in range(VALUE_LIMBS):
+            v |= int(limbs[r, j]) << (32 * j)
+        mem_after.append(((int(ctx[r]), int(seg[r]), int(virt[r])), v))
     return trace, mem_after
+
+
+def generate_trace(memory_ops: list[MemoryOp],
+                   mem_before_values=(),
+                   stale_contexts: list[int] = ()):
+    """Returns (trace, mem_after_values). mem_before_values: list of
+    ((context, segment, virt), value) written at timestamp 0.
+
+    Object-API front of the array engine (bit-identical to
+    generate_trace_py; asserted in tests)."""
+    return generate_trace_arrays(_ops_to_arrays(list(memory_ops)),
+                                 mem_before_values, stale_contexts)
 
 
 def generate_trace_py(memory_ops: list[MemoryOp],

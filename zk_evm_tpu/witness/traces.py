@@ -43,6 +43,77 @@ def _limbs_to_int(m, value_cols, r) -> int:
     return v
 
 
+def derive_memory_ops_arrays(trace: np.ndarray) -> "memory.MemOpsArrays":
+    """Array-native twin of derive_memory_ops: emits the same op multiset
+    as struct-of-arrays blocks (the memory table's lexsort puts both
+    orderings into the identical final trace; asserted in tests)."""
+    n = trace.shape[1]
+    base_ts = np.arange(n, dtype=np.uint64) * NUM_CHANNELS + np.uint64(1)
+    flag_rows = trace[cc.OP_START:cc.OP_START + cc.N_OP_FLAGS].sum(axis=0)
+    opcode = np.zeros(n, dtype=np.uint64)
+    for b in range(8):
+        opcode |= trace[cc.OPCODE_BITS[b]] << np.uint64(b)
+    parts = []
+
+    def block(rows, ts_off, ctx, seg, virt, is_read, limbs):
+        k = len(rows)
+        if not k:
+            return
+        ones = np.ones(k, dtype=np.uint64)
+        parts.append(memory.MemOpsArrays(
+            ones, base_ts[rows] + np.uint64(ts_off),
+            np.asarray(ctx, dtype=np.uint64),
+            (np.full(k, seg, dtype=np.uint64)
+             if np.isscalar(seg) else np.asarray(seg, dtype=np.uint64)),
+            np.asarray(virt, dtype=np.uint64),
+            (np.full(k, is_read, dtype=np.uint64)
+             if np.isscalar(is_read)
+             else np.asarray(is_read, dtype=np.uint64)),
+            limbs))
+
+    def lo_limbs(vals):
+        k = len(vals)
+        out = np.zeros((k, memory.VALUE_LIMBS), dtype=np.uint32)
+        out[:, 0] = vals & np.uint64(0xFFFFFFFF)
+        out[:, 1] = vals >> np.uint64(32)
+        return out
+
+    rows = np.flatnonzero(flag_rows)
+    block(rows, 0, trace[cc.CODE_CONTEXT, rows], int(Segment.Code),
+          trace[cc.PROGRAM_COUNTER, rows], 1, lo_limbs(opcode[rows]))
+    for i, ch in enumerate(cc.MEM_CHANNELS):
+        rows = np.flatnonzero(trace[ch.used])
+        limbs = trace[np.array(ch.value)][:, rows].T.astype(np.uint32)
+        block(rows, 1 + i, trace[ch.addr_context, rows],
+              trace[ch.addr_segment, rows], trace[ch.addr_virtual, rows],
+              trace[ch.is_read, rows], np.ascontiguousarray(limbs))
+    pch = cc.PARTIAL_CHANNEL
+    rows = np.flatnonzero(trace[pch.used])
+    limbs = trace[np.array(cc.MEM_CHANNELS[0].value)][:, rows].T \
+        .astype(np.uint32)
+    block(rows, 4, trace[pch.addr_context, rows],
+          trace[pch.addr_segment, rows], trace[pch.addr_virtual, rows],
+          trace[pch.is_read, rows], np.ascontiguousarray(limbs))
+    # SET_CONTEXT: old-sp write / new-sp read live only in CTL views
+    rows = np.flatnonzero(trace[cc.OP["context_op"]]
+                          * trace[cc.OPCODE_BITS[0]])
+    block(rows, 2, trace[cc.CONTEXT, rows],
+          int(Segment.ContextMetadata),
+          np.full(len(rows), _CTX_STACK_SIZE, dtype=np.uint64), 0,
+          lo_limbs(trace[cc.STACK_LEN, rows] - np.uint64(1)))
+    block(rows, 3, trace[cc.MEM_CHANNELS[0].value[2], rows],
+          int(Segment.ContextMetadata),
+          np.full(len(rows), _CTX_STACK_SIZE, dtype=np.uint64), 1,
+          lo_limbs(trace[cc.STACK_LEN, (rows + 1) % n]))
+    if not parts:
+        return memory.MemOpsArrays(
+            np.zeros(0, np.uint64), np.zeros(0, np.uint64),
+            np.zeros(0, np.uint64), np.zeros(0, np.uint64),
+            np.zeros(0, np.uint64), np.zeros(0, np.uint64),
+            np.zeros((0, memory.VALUE_LIMBS), np.uint32))
+    return memory.MemOpsArrays.concat(parts)
+
+
 def derive_memory_ops(trace: np.ndarray) -> list[memory.MemoryOp]:
     """Memory ops implied by a CPU trace's bus columns: one code read per
     flagged row, one op per used GP/partial channel, plus SET_CONTEXT's
@@ -200,17 +271,19 @@ def generate_all_tables(interp, use_optional=True) -> GeneratedTables:
                                          ts_of(s), data)
               for s, is_read, (ctx, seg, virt), data in interp.bp_log]
 
-    mem_ops = derive_memory_ops(cpu_trace)
-    mem_ops += _sponge_memory_ops(sponge_ops)
-    mem_ops += _bp_memory_ops(bp_ops)
+    extra_ops = _sponge_memory_ops(sponge_ops) + _bp_memory_ops(bp_ops)
     # metadata / trie digests / registers: timestamp-2 writes matched by
     # the verifier's public-values extra looking sum
     for seg, virt, value in interp.metadata_ops:
-        mem_ops.append(memory.MemoryOp(True, 2, 0, seg, virt, False,
-                                       value))
+        extra_ops.append(memory.MemoryOp(True, 2, 0, seg, virt, False,
+                                         value))
 
+    mem_ops = memory.MemOpsArrays.concat(
+        [derive_memory_ops_arrays(cpu_trace),
+         memory._ops_to_arrays(extra_ops)]) if extra_ops \
+        else derive_memory_ops_arrays(cpu_trace)
     mem_before_values = interp.mem_before_values
-    mem_trace, mem_after_values = memory.generate_trace(
+    mem_trace, mem_after_values = memory.generate_trace_arrays(
         mem_ops, mem_before_values=mem_before_values,
         stale_contexts=list(interp.stale_contexts))
 
