@@ -35,4 +35,17 @@ static inline uint64_t mul(uint64_t a, uint64_t b) {
   return reduce128((unsigned __int128)a * b);
 }
 
+// Fermat inverse; inv(0) = 0 (the "pseudoinverse-or-zero" trace
+// convention).
+static inline uint64_t inv(uint64_t a) {
+  if (!a) return 0;
+  uint64_t r = 1, base = a, e = 0xfffffffeffffffffULL;  // p - 2
+  while (e) {
+    if (e & 1) r = mul(r, base);
+    base = mul(base, base);
+    e >>= 1;
+  }
+  return r;
+}
+
 }  // namespace gl

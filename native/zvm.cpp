@@ -21,6 +21,7 @@
 #include <unordered_set>
 #include <vector>
 
+#include "gl.h"
 #include "u256.h"
 
 extern "C" void keccak256(const uint8_t* data, uint64_t len,
@@ -775,7 +776,12 @@ struct Zvm {
 extern "C" {
 
 // ---- memory handle ----
-void* zvm_mem_new() { return new ZvmMem(); }
+void* zvm_mem_new() {
+  ZvmMem* m = new ZvmMem();
+  m->data.reserve(1 << 18);  // kernel code + shift table land immediately
+  m->maxvirt.reserve(1 << 12);
+  return m;
+}
 void zvm_mem_free(void* m) { delete (ZvmMem*)m; }
 void* zvm_mem_clone(void* m) { return new ZvmMem(*(ZvmMem*)m); }
 
@@ -1123,6 +1129,376 @@ uint64_t zvm_jd_len(void* h) { return ((Zvm*)h)->jd_collected.size(); }
 void zvm_export_jd(void* h, uint64_t* out) {
   Zvm* z = (Zvm*)h;
   std::memcpy(out, z->jd_collected.data(), z->jd_collected.size() * 8);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// CPU-table row builder (tables/cpu.py build_cpu_rows) driven directly by
+// the zvm's recorded trace — skips materializing python trace entries and
+// the per-row python witness filler entirely. Exact twin of the python
+// builder; tests/test_zvm.py asserts bit-identical CPU traces.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// idx layout (see witness/native_vm.py _cpu_idx):
+// 0 CONTEXT, 1 CODE_CONTEXT, 2 PROGRAM_COUNTER, 3 STACK_LEN,
+// 4 IS_KERNEL_MODE, 5 GAS, 6 OP_START, 7 N_OP_FLAGS, 8 OPCODE_BITS0,
+// 9 GENERAL0, 10 CLOCK, 11 CH0, 12 CH1, 13 CH2, 14 PARTIAL,
+// 15 NUM_COLUMNS, 16 STACK_SEGMENT, 17 SHIFT_TABLE_SEGMENT,
+// 18 JUMPDEST_BITS_SEGMENT, 19 MAX_USER_STACK_SIZE
+// flag ids follow tables/cpu_columns.OP_NAMES order; 16=syscall,
+// 17=exception.
+int64_t zvm_cpu_rows(void* h, uint64_t* m, uint64_t n_rows,
+                     const int32_t* idx, const int8_t* flag_table,
+                     const int8_t* beh_pops, const int8_t* beh_push,
+                     const int8_t* beh_has, const int8_t* might_overflow,
+                     uint64_t halt_pc, uint64_t final_gas,
+                     uint64_t final_context, uint64_t final_stack_len,
+                     uint64_t syscall_jt, uint64_t exception_jt,
+                     const uint64_t* bn_limbs) {
+  Zvm* z = (Zvm*)h;
+  const uint64_t n_ops = z->trace.size();
+  if (n_ops > n_rows) return -2;
+  const int32_t CONTEXT = idx[0], CODE_CONTEXT = idx[1], PC = idx[2],
+                STACK_LEN = idx[3], IS_KERNEL = idx[4], GAS = idx[5],
+                OP_START = idx[6], OPCODE_BITS0 = idx[8],
+                GENERAL0 = idx[9], CLOCK = idx[10];
+  const int32_t CH[3] = {idx[11], idx[12], idx[13]};
+  const int32_t PARTIAL = idx[14];
+  const uint64_t STACK_SEG = (uint64_t)idx[16];
+  const uint64_t SHIFT_SEG = (uint64_t)idx[17];
+  const uint64_t JDB_SEG = (uint64_t)idx[18];
+  const uint64_t MAX_STACK = (uint64_t)idx[19];
+  // channel field offsets within a 13-col block:
+  // used, is_read, addr_ctx, addr_seg, addr_virt, value[0..8)
+  const int32_t F_USED = 0, F_ISREAD = 1, F_ACTX = 2, F_ASEG = 3,
+                F_AVIRT = 4, F_VAL = 5;
+  // stack/general aliases (cpu_columns.py GENERAL union)
+  const int32_t JUMPS_SHOULD_JUMP = GENERAL0;
+  const int32_t JUMPS_COND_SUM_PINV = GENERAL0 + 1;
+  const int32_t SHIFT_HLS_INV = GENERAL0;
+  const int32_t PUSH_IS_NOT_KERNEL = GENERAL0;
+  const int32_t CTX_PRUNING_FLAG = GENERAL0;
+  const int32_t LOGIC_DIFF_PINV = GENERAL0;  // 8 limbs
+  const int32_t EXC_BITS = GENERAL0;         // 3 bits
+  const int32_t STACK_INV = GENERAL0 + 4;
+  const int32_t STACK_INV_AUX = GENERAL0 + 5;
+  const int32_t STACK_INV_AUX_2 = GENERAL0 + 6;
+  const int32_t STACK_BOUNDS_AUX = GENERAL0 + 7;
+
+#define M(c, r) m[(uint64_t)(c)*n_rows + (r)]
+
+  auto set_value = [&](int32_t ch, uint64_t r, const U256& v) {
+    for (int j = 0; j < 4; j++) {
+      M(ch + F_VAL + 2 * j, r) = v.w[j] & 0xffffffffULL;
+      M(ch + F_VAL + 2 * j + 1, r) = v.w[j] >> 32;
+    }
+  };
+  auto read_channel = [&](uint64_t r, int32_t ch, uint64_t virt,
+                          const U256* value, uint64_t ctx) {
+    if (r >= n_rows) return;
+    M(ch + F_USED, r) = 1;
+    M(ch + F_ISREAD, r) = 1;
+    M(ch + F_ACTX, r) = ctx;
+    M(ch + F_ASEG, r) = STACK_SEG;
+    M(ch + F_AVIRT, r) = virt;
+    if (value) set_value(ch, r, *value);
+  };
+  // stack[-k] of step r (top-17 snapshot; k in 1..17)
+  auto stk = [&](uint64_t r, unsigned k) -> const U256& {
+    return z->tops[r * 17 + 17 - k];
+  };
+
+  // base fills
+  for (uint64_t r = 0; r < n_rows; r++) {
+    M(CLOCK, r) = r + 1;
+    M(IS_KERNEL, r) = 1;
+    M(PC, r) = halt_pc;
+  }
+  for (uint64_t r = n_ops; r < n_rows; r++) {
+    M(CONTEXT, r) = final_context;
+    M(GAS, r) = final_gas;
+    M(STACK_LEN, r) = final_stack_len;
+  }
+
+  for (uint64_t r = 0; r < n_ops; r++) {
+    const TraceMeta& t = z->trace[r];
+    uint8_t opcode = t.op;
+    int flag;
+    if (t.kind == 1)
+      flag = 16;  // syscall
+    else if (t.kind == 2)
+      flag = 17;  // exception
+    else
+      flag = flag_table[(t.kernel ? 256 : 0) + opcode];
+    if (flag < 0) return (int64_t)r + 1;  // no decode flag: python raises
+    M(IS_KERNEL, r) = t.kernel;
+    M(CONTEXT, r) = t.ctx;
+    M(CODE_CONTEXT, r) = t.kernel ? 0 : t.ctx;
+    M(PC, r) = t.pc;
+    M(GAS, r) = t.gas;
+    for (int b = 0; b < 8; b++)
+      M(OPCODE_BITS0 + b, r) = (opcode >> b) & 1;
+    M(OP_START + flag, r) = 1;
+    if (flag == 9)  // push_prover_input
+      M(PUSH_IS_NOT_KERNEL, r) = t.kernel ? 0 : 1;
+    if (flag == 17)
+      for (int b = 0; b < 3; b++)
+        M(EXC_BITS + b, r) = (t.exc >> b) & 1;
+
+    // ---- _fill_stack_witness ----
+    const uint64_t L = t.stack_len;
+    M(STACK_LEN, r) = L;
+    if (L) set_value(CH[0], r, stk(r, 1));
+    int8_t has = beh_has[flag];
+    int pops = beh_pops[flag];
+    bool pushes = beh_push[flag];
+    const uint64_t ctx = t.ctx;
+    if (flag == 8) {  // jumps
+      unsigned jumpi = opcode & 1;
+      const U256& dst = stk(r, 1);
+      U256 cond_v = u256_from_u64(1);
+      if (jumpi) {
+        cond_v = stk(r, 2);
+        read_channel(r, CH[1], L - 2, &cond_v, ctx);
+      } else {
+        M(CH[1] + F_VAL, r) = 1;  // pinned, unused
+      }
+      uint64_t should = cond_v.is_zero() ? 0 : 1;
+      M(JUMPS_SHOULD_JUMP, r) = should;
+      uint64_t cond_sum = 0;
+      for (int j = 0; j < 4; j++)
+        cond_sum += (cond_v.w[j] & 0xffffffffULL) + (cond_v.w[j] >> 32);
+      cond_sum %= gl::P;
+      M(JUMPS_COND_SUM_PINV, r) = gl::inv(cond_sum);
+      M(CH[2] + F_VAL, r) = 1;
+      M(CH[2] + F_ISREAD, r) = 1;
+      M(CH[2] + F_ACTX, r) = ctx;
+      M(CH[2] + F_ASEG, r) = JDB_SEG;
+      M(CH[2] + F_AVIRT, r) = dst.w[0] & 0xffffffffULL;
+      M(CH[2] + F_USED, r) = should * (t.kernel ? 0 : 1);
+      uint64_t rem = L - 1 - jumpi;
+      M(STACK_INV, r) = gl::inv(rem % gl::P);
+      M(STACK_INV_AUX, r) = rem ? 1 : 0;
+      if (rem) read_channel(r + 1, CH[0], rem - 1, nullptr, 0);
+      continue;
+    }
+    if (flag == 10) {  // dup_swap
+      unsigned nd = opcode & 0xF;
+      if (((opcode >> 4) & 1) == 0) {  // DUP_{n+1}
+        M(CH[1] + F_USED, r) = 1;
+        M(CH[1] + F_ISREAD, r) = 0;
+        M(CH[1] + F_ACTX, r) = ctx;
+        M(CH[1] + F_ASEG, r) = STACK_SEG;
+        M(CH[1] + F_AVIRT, r) = L - 1;
+        set_value(CH[1], r, stk(r, 1));
+        U256 v = stk(r, 1 + nd);
+        read_channel(r, CH[2], L - 1 - nd, &v, ctx);
+      } else {  // SWAP_{n+1}
+        U256 v = stk(r, 2 + nd);
+        read_channel(r, CH[1], L - 2 - nd, &v, ctx);
+        M(CH[2] + F_USED, r) = 1;
+        M(CH[2] + F_ISREAD, r) = 0;
+        M(CH[2] + F_ACTX, r) = ctx;
+        M(CH[2] + F_ASEG, r) = STACK_SEG;
+        M(CH[2] + F_AVIRT, r) = L - 2 - nd;
+        set_value(CH[2], r, stk(r, 1));
+      }
+      continue;
+    }
+    if (flag == 7) {  // jumpdest_keccak_general: behavior override
+      has = 1;
+      if ((opcode >> 1) & 1) {
+        pops = 0;
+        pushes = false;
+      } else {
+        pops = 2;
+        pushes = true;
+      }
+    }
+    if (flag == 14) {  // m_op_general
+      unsigned mload = opcode & 1;
+      // python-int semantics: (L - 2) % P — MLOAD_GENERAL can run with
+      // only the address on the stack (L == 1, rem == -1 ≡ P - 1)
+      uint64_t rem = L >= 2 ? (L - 2) % gl::P
+                            : gl::P - ((2 - L) % gl::P);
+      M(STACK_INV, r) = gl::inv(rem);
+      M(STACK_INV_AUX, r) = rem ? 1 : 0;
+      if (mload) {
+        const U256& a = stk(r, 1);
+        M(CH[1] + F_USED, r) = 1;
+        M(CH[1] + F_ISREAD, r) = 1;
+        M(CH[1] + F_ACTX, r) = a.w[1] & 0xffffffffULL;   // limb 2
+        M(CH[1] + F_ASEG, r) = a.w[0] >> 32;             // limb 1
+        M(CH[1] + F_AVIRT, r) = a.w[0] & 0xffffffffULL;  // limb 0
+      } else {
+        M(STACK_INV_AUX_2, r) = M(STACK_INV_AUX, r);
+        U256 aw = stk(r, 2);
+        read_channel(r, CH[1], L - 2, &aw, ctx);
+        M(PARTIAL + F_USED, r) = 1;
+        M(PARTIAL + F_ISREAD, r) = 0;
+        M(PARTIAL + F_ACTX, r) = aw.w[1] & 0xffffffffULL;
+        M(PARTIAL + F_ASEG, r) = aw.w[0] >> 32;
+        M(PARTIAL + F_AVIRT, r) = aw.w[0] & 0xffffffffULL;
+        if (L > 2) read_channel(r + 1, CH[0], L - 3, nullptr, 0);
+      }
+      continue;
+    }
+    if (flag == 6) {  // shift
+      const U256& d = stk(r, 1);
+      uint64_t hs = 0;
+      hs += d.w[0] >> 32;
+      for (int j = 1; j < 4; j++)
+        hs += (d.w[j] & 0xffffffffULL) + (d.w[j] >> 32);
+      hs %= gl::P;
+      M(SHIFT_HLS_INV, r) = gl::inv(hs);
+      M(CH[2] + F_ASEG, r) = SHIFT_SEG;
+      M(CH[2] + F_AVIRT, r) = d.w[0] & 0xffffffffULL;
+      if (hs == 0) {
+        M(CH[2] + F_USED, r) = 1;
+        M(CH[2] + F_ISREAD, r) = 1;
+        if (d.fits_u64() && d.w[0] < 256) {
+          U256 disp = u256_shl(u256_from_u64(1), (unsigned)d.w[0]);
+          set_value(CH[2], r, disp);
+        }
+      }
+      // falls through to the generic behavior
+    }
+    if (flag == 3) {  // eq_iszero
+      unsigned iszero = opcode & 1;
+      has = 1;
+      pops = iszero ? 1 : 2;
+      pushes = true;
+      const U256& in0 = stk(r, 1);
+      U256 in1 = iszero ? U256{{0, 0, 0, 0}} : stk(r, 2);
+      uint64_t l0[8], l1[8];
+      for (int j = 0; j < 4; j++) {
+        l0[2 * j] = in0.w[j] & 0xffffffffULL;
+        l0[2 * j + 1] = in0.w[j] >> 32;
+        l1[2 * j] = in1.w[j] & 0xffffffffULL;
+        l1[2 * j + 1] = in1.w[j] >> 32;
+      }
+      uint64_t n_neq = 0;
+      for (int j = 0; j < 8; j++)
+        if (l0[j] != l1[j]) n_neq++;
+      uint64_t n_inv = gl::inv(n_neq);
+      for (int j = 0; j < 8; j++) {
+        uint64_t d = gl::sub(l0[j], l1[j]);
+        M(LOGIC_DIFF_PINV + j, r) = d ? gl::mul(gl::inv(d), n_inv) : 0;
+      }
+    }
+    if (flag == 5) {  // not_pop
+      if (opcode & 1) {
+        has = 1;
+        pops = 1;
+        pushes = true;
+      } else {
+        has = 0;
+      }
+      uint64_t rem = (L - 1) % gl::P;  // L >= 1 here
+      M(STACK_INV, r) = (L != 1) ? gl::inv(rem) : 0;
+      M(STACK_INV_AUX, r) = (L != 1) ? 1 : 0;
+      if (!(opcode & 1)) {  // POP
+        M(STACK_INV_AUX_2, r) = M(STACK_INV_AUX, r);
+        if (L > 1) read_channel(r + 1, CH[0], L - 2, nullptr, 0);
+      }
+    }
+    if (flag == 2) {  // fp254_op: ch2 carries BN_BASE for the CTL
+      for (int j = 0; j < 8; j++)
+        M(CH[2] + F_VAL + j, r) = bn_limbs[j];
+    }
+    if (!has) continue;
+    for (int i = 1; i < pops; i++) {
+      U256 v = stk(r, 1 + i);
+      read_channel(r, CH[i], L - 1 - i, &v, ctx);
+    }
+    if (pops > 0 && !pushes) {
+      uint64_t rem = (L - (uint64_t)pops) % gl::P;  // L >= pops
+      M(STACK_INV, r) = (L != (uint64_t)pops) ? gl::inv(rem) : 0;
+      M(STACK_INV_AUX, r) = (L != (uint64_t)pops) ? 1 : 0;
+      if (L > (uint64_t)pops)
+        read_channel(r + 1, CH[0], L - pops - 1, nullptr, 0);
+    } else if (pops == 0 && pushes) {
+      M(STACK_INV, r) = gl::inv(L % gl::P);
+      M(STACK_INV_AUX, r) = L ? 1 : 0;
+      if (L) {
+        M(PARTIAL + F_USED, r) = 1;
+        M(PARTIAL + F_ISREAD, r) = 0;
+        M(PARTIAL + F_ACTX, r) = ctx;
+        M(PARTIAL + F_ASEG, r) = STACK_SEG;
+        M(PARTIAL + F_AVIRT, r) = L - 1;
+      }
+    }
+  }
+
+  // _fill_overflow_aux
+  for (uint64_t r = 0; r + 1 < n_rows && r < n_ops; r++) {
+    bool might = false;
+    for (int f = 0; f < 18; f++)
+      if (might_overflow[f] && M(OP_START + f, r)) might = true;
+    if (might && M(IS_KERNEL, r + 1) == 0) {
+      uint64_t diff = gl::sub(M(STACK_LEN, r + 1) % gl::P,
+                              (MAX_STACK + 1) % gl::P);
+      M(STACK_BOUNDS_AUX, r) = gl::inv(diff);
+    }
+  }
+
+  // _fill_trap_channels
+  for (uint64_t r = 0; r < n_ops; r++) {
+    const TraceMeta& t = z->trace[r];
+    if (t.kind != 1 && t.kind != 2) continue;
+    uint64_t virt = t.kind == 1 ? syscall_jt + 3 * t.op
+                                : exception_jt + 3 * t.exc;
+    M(CH[1] + F_USED, r) = 0;
+    M(CH[1] + F_ISREAD, r) = 1;
+    M(CH[1] + F_ACTX, r) = 0;
+    M(CH[1] + F_ASEG, r) = 0;
+    M(CH[1] + F_AVIRT, r) = virt;
+    if (r + 1 < n_ops)
+      M(CH[1] + F_VAL, r) = z->trace[r + 1].pc;
+    for (int j = 1; j < 8; j++) M(CH[1] + F_VAL + j, r) = 0;
+  }
+
+  // next-top reads live in the reader's own context
+  for (uint64_t r = 0; r < n_rows; r++)
+    if (M(CH[0] + F_USED, r)) M(CH[0] + F_ACTX, r) = M(CONTEXT, r);
+
+  // second pass: MLOAD_GENERAL loaded value; context_op ch2 witness
+  for (uint64_t r = 0; r + 1 < n_rows && r < n_ops; r++) {
+    const TraceMeta& t = z->trace[r];
+    if (t.op == 0xFB && t.kind == 0 && t.kernel) {
+      for (int j = 0; j < 8; j++)
+        M(CH[1] + F_VAL + j, r) = M(CH[0] + F_VAL + j, r + 1);
+    } else if ((t.op == 0xF6 || t.op == 0xF7) && t.kind == 0 &&
+               t.kernel) {
+      unsigned is_set = t.op & 1;
+      uint64_t nlen = M(STACK_LEN, r + 1);
+      uint64_t q = nlen - (is_set ? 0 : 1);
+      M(STACK_INV, r) = gl::inv(q % gl::P);
+      M(STACK_INV_AUX, r) = q ? 1 : 0;
+      if (is_set) {
+        M(STACK_INV_AUX_2, r) = M(STACK_INV_AUX, r);
+        M(CTX_PRUNING_FLAG, r) = stk(r, 1).w[0] & 1;
+      }
+      if (q) {
+        M(CH[2] + F_USED, r) = 1;
+        M(CH[2] + F_ISREAD, r) = is_set;
+        M(CH[2] + F_ACTX, r) = M(CONTEXT, r + 1);
+        M(CH[2] + F_ASEG, r) = STACK_SEG;
+        M(CH[2] + F_AVIRT, r) = q - 1;
+        if (is_set) {
+          for (int j = 0; j < 8; j++)
+            M(CH[2] + F_VAL + j, r) = M(CH[0] + F_VAL + j, r + 1);
+        } else {
+          set_value(CH[2], r, stk(r, 1));
+        }
+      }
+    }
+  }
+#undef M
+  return 0;
 }
 
 }  // extern "C"

@@ -65,3 +65,30 @@ def test_block4_tables_sound(kernel):
                                         len(kernel.code))
     check_ctl_balance(all_cross_table_lookups(), gt.traces,
                       {MEMORY_CTL_IDX: extra})
+
+
+@pytest.mark.skipif("ZK_SLOW" not in os.environ,
+                    reason="multi-minute CI-scale blocks; set ZK_SLOW=1")
+@pytest.mark.parametrize("artifact,max_cycles", [
+    ("witness_b1033.json", 50_000_000),
+    ("witness_b19807080.json", 80_000_000),
+])
+def test_ci_scale_blocks_generate_tables(kernel, artifact, max_cycles):
+    """The reference CI's proof workloads (block 1033 with 118 txns; the
+    mainnet block 19807080) run decoder -> kernel -> all 9 tables, with
+    the vectorized all-rows constraint check on every table."""
+    from zk_evm_tpu.decoder import parse_block_prover_input, entrypoint
+    path = os.path.join(os.path.dirname(WITNESSES), artifact)
+    if not os.path.exists(path):
+        pytest.skip(f"{artifact} not mounted")
+    blocks = json.load(open(path))
+    halt = kernel.global_labels["halt"]
+    for obj in blocks:
+        bpi = parse_block_prover_input(obj)
+        for gi in entrypoint(bpi, batch_size_hint=100):
+            interp = run_generation(kernel, gi, max_cycles=max_cycles)
+            assert interp.final_registers.program_counter == halt
+            gt = generate_all_tables(interp)
+            for trace, stark in zip(gt.traces, gt.starks):
+                if trace is not None:
+                    check_constraints_np(stark, trace)

@@ -529,6 +529,19 @@ def cpu_rows_from_run(interp, n_rows=None):
     recorded per-step entries (pc, opcode, is_kernel, context,
     stack-before, gas, kind); the halt pc is wherever execution
     stopped.  Returns (trace, CpuStark)."""
+    gl = interp.kernel.global_labels
+    if getattr(interp, "_nvm", None) is not None:
+        # native fast path: rows built inside the core, straight off the
+        # recorded trace buffers (bit-identical; tests/test_zvm.py)
+        from ..witness import native_vm
+        trace = native_vm.cpu_rows_native(interp, n_rows)
+        n_ops = interp._nvm.trace_len()
+        stark = CpuStark(
+            start_pc=int(trace[cc.PROGRAM_COUNTER, 0]) if n_ops else 0,
+            halt_pc=interp.registers.program_counter,
+            syscall_jumptable=gl.get("syscall_jumptable", 0),
+            exception_jumptable=gl.get("exception_jumptable", 0))
+        return trace, stark
     ops = []
     for pc, opcode, kernel, ctx, stack, gas, kind in interp.trace:
         if kind == "syscall":

@@ -634,3 +634,90 @@ def _export_state(interp, z):
     interp.stale_contexts.extend(z.export_new_stale())
     for ctx, dst in z.export_new_jumpdests():
         interp.jumpdest_collected.setdefault(ctx, set()).add(dst)
+
+
+# ---------------------------------------------------------------------------
+# Native CPU-table row builder (tables/cpu.py build_cpu_rows twin driven
+# straight off the zvm trace buffers)
+# ---------------------------------------------------------------------------
+
+_CPU_TABLES = None
+
+
+def _cpu_tables():
+    global _CPU_TABLES
+    if _CPU_TABLES is not None:
+        return _CPU_TABLES
+    from ..tables import cpu as cputab
+    from ..tables import cpu_columns as cc
+    flag_id = {name: i for i, name in enumerate(cc.OP_NAMES)}
+    idx = np.array([
+        cc.CONTEXT, cc.CODE_CONTEXT, cc.PROGRAM_COUNTER, cc.STACK_LEN,
+        cc.IS_KERNEL_MODE, cc.GAS, cc.OP_START, cc.N_OP_FLAGS,
+        cc.OPCODE_BITS[0], cc.GENERAL[0], cc.CLOCK,
+        cc.MEM_CHANNELS[0].used, cc.MEM_CHANNELS[1].used,
+        cc.MEM_CHANNELS[2].used, cc.PARTIAL_CHANNEL.used,
+        cc.NUM_CPU_COLUMNS, cputab.STACK_SEGMENT,
+        cputab.SHIFT_TABLE_SEGMENT, cputab.JUMPDEST_BITS_SEGMENT,
+        cc.MAX_USER_STACK_SIZE], dtype=np.int32)
+    flag_table = np.full(512, -1, dtype=np.int8)
+    for kernel in (0, 1):
+        for op in range(256):
+            f = cputab.flag_for(op, bool(kernel))
+            if f is not None:
+                flag_table[kernel * 256 + op] = flag_id[f]
+    n_flags = len(cc.OP_NAMES)
+    beh_pops = np.zeros(n_flags, dtype=np.int8)
+    beh_push = np.zeros(n_flags, dtype=np.int8)
+    beh_has = np.zeros(n_flags, dtype=np.int8)
+    for name, (pops, pushes, _) in cputab.STACK_BEHAVIORS.items():
+        i = flag_id[name]
+        beh_pops[i], beh_push[i], beh_has[i] = pops, pushes, 1
+    might = np.zeros(n_flags, dtype=np.int8)
+    for name in cputab.MIGHT_OVERFLOW:
+        might[flag_id[name]] = 1
+    from ..tables.arithmetic import BN_BASE
+    bn = np.array([(BN_BASE >> (32 * j)) & 0xFFFFFFFF for j in range(8)],
+                  dtype=np.uint64)
+    lib = _load()
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C")
+    i8p = np.ctypeslib.ndpointer(np.int8, flags="C")
+    u64p = np.ctypeslib.ndpointer(np.uint64, flags="C")
+    lib.zvm_cpu_rows.restype = I64
+    lib.zvm_cpu_rows.argtypes = [
+        ctypes.c_void_p, u64p, U64, i32p, i8p, i8p, i8p, i8p, i8p,
+        U64, U64, U64, U64, U64, U64, u64p]
+    _CPU_TABLES = (idx, flag_table, beh_pops, beh_push, beh_has, might,
+                   bn)
+    return _CPU_TABLES
+
+
+def cpu_rows_native(interp, n_rows=None) -> np.ndarray:
+    """build_cpu_rows computed inside the native core (no python trace
+    materialization). Same output contract as
+    tables/cpu.py cpu_rows_from_run's matrix."""
+    from ..tables import cpu_columns as cc
+    idx, flag_table, beh_pops, beh_push, beh_has, might, bn = \
+        _cpu_tables()
+    z = interp._nvm
+    n_ops = z.trace_len()
+    n = max(n_ops, 2)
+    if n_rows is None:
+        n_rows = 1 << max(1, n.bit_length())
+        if n_rows < n + 1:
+            n_rows <<= 1
+    gl = interp.kernel.global_labels
+    r = interp.registers
+    m = np.zeros((cc.NUM_CPU_COLUMNS, n_rows), dtype=np.uint64)
+    rc = z._lib.zvm_cpu_rows(
+        z._h, m, n_rows, idx, flag_table, beh_pops, beh_push, beh_has,
+        might, r.program_counter, r.gas_used, r.context, r.stack_len,
+        gl.get("syscall_jumptable", 0), gl.get("exception_jumptable", 0),
+        bn)
+    if rc == -2:
+        raise ValueError(f"trace ({n_ops} rows) exceeds n_rows={n_rows}")
+    if rc != 0:
+        step = int(rc) - 1
+        raise ValueError(
+            f"executed opcode at step {step} has no decode flag")
+    return m
