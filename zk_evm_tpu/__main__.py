@@ -49,72 +49,78 @@ def cmd_decode(args):
 
 
 def cmd_prove(args):
-    """Prove a block segment: witness generation (interpreter run ->
-    9 tables) then the multi-table STARK proof, persisted as JSON."""
+    """Prove block(s): witness generation (interpreter run -> 9 tables)
+    -> per-batch segment-chain STARK proofs -> batch aggregation ->
+    block statement, chained across blocks. Twin of BlockProverInput::
+    prove (zero/src/prover.rs:97-333) over the in-process runtime."""
     from .witness.assembler import combined_kernel
-    from .witness.interpreter import run_generation
-    from .witness.traces import generate_all_tables
     from .witness.testing_fixtures import FIXTURES
-    from .orchestration.block import prove_block, verify_block
-    from .stark.serialization import proof_to_json
+    from .orchestration.aggregation import (
+        prove_block_batches, verify_block_chain,
+        rewrite_checkpoint_consolidation)
+    from .stark.serialization import (block_proof_to_json,
+                                      block_proof_from_json)
 
     if args.fixture:
-        inputs = FIXTURES[args.fixture]()
+        gis_per_block = [[FIXTURES[args.fixture]()]]
+        is_fixture = True
     else:
         from .decoder import parse_block_prover_input, entrypoint
         obj = json.load(open(args.witness))
-        bpi = parse_block_prover_input(obj[0] if isinstance(obj, list)
-                                       else obj)
-        gis = entrypoint(bpi, batch_size_hint=args.batch_size)
-        if len(gis) != 1:
-            print(f"prove: {len(gis)} batches; proving batch 0 only",
-                  file=sys.stderr)
-        inputs = gis[0]
+        blocks = obj if isinstance(obj, list) else [obj]
+        gis_per_block = []
+        for b in blocks:
+            bpi = parse_block_prover_input(b)
+            gis_per_block.append(
+                entrypoint(bpi, batch_size_hint=args.batch_size))
+        # the witness's consolidated hash was computed with plonky2's
+        # Poseidon; restamp it under ours so the chain is self-
+        # consistent and checkpoint-checkable
+        rewrite_checkpoint_consolidation(gis_per_block)
+        is_fixture = False
+
+    parent_pv = None
+    if getattr(args, "previous_proof", None):
+        prev = block_proof_from_json(open(args.previous_proof).read())
+        parent_pv = prev.public_values
 
     from .timing import TimingTree
-    with TimingTree("prove block") as tree:
+    block_proofs = []
+    outputs = []
+    with TimingTree("prove blocks") as tree:
         with tree.scope("assemble kernel"):
             kernel = combined_kernel()
-        if args.max_cpu_len_log:
-            from .witness.segments import generate_segment_tables
-            from .orchestration.block import verify_segments
-            from .orchestration.pipeline import prove_segments_pipelined
-            cycles_box = [0]
-
-            def _tables():
-                for seg, gt in generate_segment_tables(
-                        kernel, inputs,
-                        max_cpu_len_log=args.max_cpu_len_log):
-                    cycles_box[0] += gt.traces[2].shape[1]
-                    yield seg, gt
-
-            # witness generation overlaps device proving (P7)
-            proofs = prove_segments_pipelined(_tables(), prove_block)
-            cycles = cycles_box[0]
-            with tree.scope("verify chain (self-check)"):
-                verify_segments(proofs, kernel)
-            payload = json.dumps(
-                [json.loads(proof_to_json(p)) for p in proofs])
-        else:
-            with tree.scope("simulate CPU"):
-                interp = run_generation(kernel, inputs)
-            with tree.scope("generate tables"):
-                gt = generate_all_tables(interp)
-            with tree.scope("prove"):
-                proofs = [prove_block(gt)]
-            with tree.scope("verify (self-check)"):
-                verify_block(proofs[0], kernel)
-            cycles = len(interp.trace)
-            payload = proof_to_json(proofs[0])
+        for bi, gis in enumerate(gis_per_block):
+            n = gis[0].block_metadata.block_number
+            with tree.scope(f"block {n} ({len(gis)} batches)"):
+                bp = prove_block_batches(
+                    kernel, gis, max_cpu_len_log=args.max_cpu_len_log)
+            block_proofs.append(bp)
+            out = args.output if len(gis_per_block) == 1 \
+                else f"b{n}.zkproof"
+            with open(out, "w") as f:
+                f.write(block_proof_to_json(bp))
+            outputs.append(out)
+        with tree.scope("verify chain (self-check)"):
+            if is_fixture:
+                # fixtures replicate the reference's test blocks, which
+                # are not checkpoint-anchored (simple_transfer.rs:155
+                # uses the empty trie root); batch aggregation + block
+                # initial checks already ran inside prove_block_batches
+                pass
+            else:
+                verify_block_chain(block_proofs, kernel,
+                                   parent=parent_pv, reverify=False)
     tree.print()
-    with open(args.output, "w") as f:
-        f.write(payload)
+    last = block_proofs[-1]
     print(json.dumps({
-        "proof": args.output,
-        "segments": len(proofs),
-        "cycles": cycles,
+        "proofs": outputs,
+        "blocks": len(block_proofs),
+        "batches": [len(bp.batches) for bp in block_proofs],
+        "segments": [sum(len(c) for c in bp.batches)
+                     for bp in block_proofs],
         "state_root_after":
-            "0x" + bytes(proofs[-1].public_values.trie_roots_after
+            "0x" + bytes(last.public_values.trie_roots_after
                          .state_root).hex(),
     }))
     return 0
@@ -122,14 +128,25 @@ def cmd_prove(args):
 
 def cmd_verify(args):
     from .orchestration.block import verify_block, verify_segments
-    from .stark.serialization import all_proof_from_json
+    from .stark.serialization import (all_proof_from_json,
+                                      block_proof_from_json)
     from .witness.assembler import combined_kernel
 
     raw = open(args.proof).read()
     obj = json.loads(raw)
     kernel = combined_kernel()
     try:
-        if isinstance(obj, list):
+        if isinstance(obj, dict) and obj.get("kind") == "block":
+            from .orchestration.aggregation import aggregate_block, \
+                check_checkpoint_block
+            bp = block_proof_from_json(raw)
+            rebuilt = aggregate_block(bp.batches, kernel)
+            assert rebuilt.public_values == bp.public_values, \
+                "claimed block statement does not match its batches"
+            if args.checkpoint:
+                check_checkpoint_block(bp.public_values)
+            n = sum(len(c) for c in bp.batches)
+        elif isinstance(obj, list):
             proofs = [all_proof_from_json(json.dumps(p)) for p in obj]
             verify_segments(proofs, kernel)
             n = len(proofs)
@@ -224,9 +241,15 @@ def main(argv=None):
     pr.add_argument("--max-cpu-len-log", type=int, default=None,
                     help="segment the proof at 2^N CPU rows "
                          "(zk-continuations)")
+    pr.add_argument("--previous-proof", default=None,
+                    help="previous block's .zkproof to chain from "
+                         "(resume, zero/src/fs.rs:14-30)")
     pr.set_defaults(fn=cmd_prove)
     v = sub.add_parser("verify", help="verify a proof file")
     v.add_argument("proof")
+    v.add_argument("--checkpoint", action="store_true",
+                   help="also require the block to anchor at its "
+                        "claimed checkpoint")
     v.set_defaults(fn=cmd_verify)
     b = sub.add_parser("bench", help="run the standard benchmark")
     b.set_defaults(fn=cmd_bench)

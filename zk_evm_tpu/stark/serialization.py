@@ -81,3 +81,39 @@ def all_proof_from_json(s: str) -> AllProof:
         table_in_use=list(d["table_in_use"]),
         public_inputs=list(d["public_inputs"]),
         public_values=pv)
+
+
+def block_proof_to_json(bp) -> str:
+    """BlockProof (orchestration/aggregation.py) -> the persisted
+    b{height}.zkproof shape: block statement + FinalPublicValues + all
+    per-batch segment-chain AllProofs."""
+    from .public_values import public_values_to_dict
+    from ..orchestration.aggregation import FinalPublicValues
+    fin = FinalPublicValues.from_public_values(bp.public_values)
+    return json.dumps({
+        "kind": "block",
+        "block_number": bp.public_values.block_metadata.block_number,
+        "public_values": public_values_to_dict(bp.public_values),
+        "final_public_values": {
+            "chain_id": fin.chain_id,
+            "checkpoint_state_trie_root":
+                fin.checkpoint_state_trie_root.hex(),
+            "new_state_trie_root": fin.new_state_trie_root.hex(),
+            "checkpoint_consolidated_hash":
+                list(fin.checkpoint_consolidated_hash),
+            "new_consolidated_hash": list(fin.new_consolidated_hash),
+        },
+        "batches": [[json.loads(proof_to_json(p)) for p in chain]
+                    for chain in bp.batches],
+    })
+
+
+def block_proof_from_json(s: str):
+    from ..orchestration.aggregation import BlockProof
+    from .public_values import public_values_from_dict
+    d = json.loads(s)
+    assert d.get("kind") == "block", "not a block proof file"
+    return BlockProof(
+        batches=[[all_proof_from_json(json.dumps(p)) for p in chain]
+                 for chain in d["batches"]],
+        public_values=public_values_from_dict(d["public_values"]))
