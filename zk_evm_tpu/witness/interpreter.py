@@ -1208,6 +1208,25 @@ class Interpreter:
             raise KernelPanic("out of GER data")
         return self.ger_prover_inputs.pop()
 
+    def _pi_kzg_point_eval(self, path):
+        """EIP-4844 point-evaluation precompile: the pairing check runs
+        on the host (prover_input.rs:634-710); the kernel consumes the
+        result nondeterministically (asm/core/precompiles/
+        kzg_peval.asm:55)."""
+        from .bls381 import kzg_point_eval
+        return kzg_point_eval(
+            self.peek(0), self.peek(1), self.peek(2), self.peek(3),
+            self.peek(4), self.peek(5), self.peek(6))
+
+    def _pi_kzg_point_eval_2(self, path):
+        """Second word of the precompile's 64-byte return value
+        (prover_input.rs:683-710)."""
+        from .bls381 import R, FIELD_ELEMENTS_PER_BLOB
+        if self.peek(0) != R:
+            raise KernelPanic("kzg_point_eval_2 without a successful "
+                              "point evaluation")
+        return FIELD_ELEMENTS_PER_BLOB
+
     def _pi_num_bits(self, path):
         v = self.peek(0)
         assert v != 0, "num_bits of zero"
