@@ -35,6 +35,8 @@ def _load():
         lib = ctypes.CDLL(_LIB_PATH)
         lib.keccak256.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
                                   ctypes.c_char_p]
+        lib.keccak_f1600.argtypes = [
+            np.ctypeslib.ndpointer(np.uint64, flags="C")]
         lib.gl_suffix_sum.argtypes = [
             np.ctypeslib.ndpointer(np.uint64, flags="C"),
             np.ctypeslib.ndpointer(np.uint64, flags="C"),
@@ -124,6 +126,19 @@ def keccak256(data: bytes) -> bytes:
     out = ctypes.create_string_buffer(32)
     lib.keccak256(data, len(data), out)
     return out.raw
+
+
+def keccak_f_lanes(lanes) -> list[int] | None:
+    """Native keccak-f[1600] over 25 u64 lanes (lane(x,y) = lanes[x+5y]);
+    None when the native lib is unavailable."""
+    lib = _load()
+    if not lib:
+        return None
+    buf = np.asarray(lanes, dtype=np.uint64)
+    assert buf.shape == (25,)
+    buf = np.ascontiguousarray(buf)
+    lib.keccak_f1600(buf)
+    return [int(x) for x in buf]
 
 
 def gl_suffix_sum(a: np.ndarray) -> np.ndarray:

@@ -490,21 +490,418 @@ def op_to_rows(op: Op) -> list[list[int]]:
     raise ValueError(op.kind)
 
 
-def generate_trace(ops: list[Op], min_rows: int = RANGE_MAX,
+# ---------------------------------------------------------------------------
+# Vectorized trace generation: ops arrive as a (n, 20) uint64 array
+# [step, kind, opcode, has_result, in0[4], in1[4], in2[4], res[4]] (the
+# native core's export layout) and whole op families build their rows as
+# numpy batches. Python big-ints appear only where 512-bit division is
+# genuinely needed (the modular quotients). Bit-identical to op_to_rows
+# (asserted in tests/test_arithmetic_table.py).
+# ---------------------------------------------------------------------------
+
+_KIND_TO_FLAG = None
+
+
+def _kind_flag_table():
+    global _KIND_TO_FLAG
+    if _KIND_TO_FLAG is None:
+        from ..witness.native_vm import ARITH_KINDS
+        t = np.zeros(len(ARITH_KINDS), dtype=np.int64)
+        for i, k in enumerate(ARITH_KINDS):
+            t[i] = IS_RANGE_CHECK if k == "range_check" else \
+                BINARY_FLAG.get(k, TERNARY_FLAG.get(k, -1))
+        assert (t >= 0).all()
+        _KIND_TO_FLAG = t
+    return _KIND_TO_FLAG
+
+
+def _raw_from_ops(ops: list) -> np.ndarray:
+    from ..witness.native_vm import ARITH_KINDS
+    kind_id = {k: i for i, k in enumerate(ARITH_KINDS)}
+    raw = np.zeros((len(ops), 20), dtype=np.uint64)
+    for i, op in enumerate(ops):
+        raw[i, 1] = kind_id[op.kind]
+        raw[i, 2] = op.opcode
+        raw[i, 3] = op.result is not None
+        for base, v in ((4, op.in0), (8, op.in1), (12, op.in2),
+                        (16, op.result or 0)):
+            for w in range(4):
+                raw[i, base + w] = (v >> (64 * w)) & 0xFFFFFFFFFFFFFFFF
+    return raw
+
+
+def _words_to_limbs(words: np.ndarray) -> np.ndarray:
+    """(n, 4) uint64 words -> (n, 16) int64 16-bit limbs."""
+    n = words.shape[0]
+    out = np.empty((n, 16), dtype=np.int64)
+    for w in range(4):
+        v = words[:, w]
+        for k in range(4):
+            out[:, 4 * w + k] = ((v >> np.uint64(16 * k))
+                                 & np.uint64(0xFFFF)).astype(np.int64)
+    return out
+
+
+def _words_to_ints(words: np.ndarray) -> list[int]:
+    """(n, 4) uint64 -> python ints."""
+    b = np.ascontiguousarray(words.astype("<u8")).tobytes()
+    return [int.from_bytes(b[32 * i:32 * i + 32], "little")
+            for i in range(words.shape[0])]
+
+
+def _ints_to_limbs(vals: list[int], n_limbs: int) -> np.ndarray:
+    nb = 2 * n_limbs
+    buf = b"".join(v.to_bytes(nb, "little") for v in vals)
+    return np.frombuffer(buf, dtype="<u2").astype(np.int64) \
+        .reshape(len(vals), n_limbs) if vals else \
+        np.zeros((0, n_limbs), dtype=np.int64)
+
+
+def _carry_prop(sums: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Propagate 16-bit carries along axis 1. Returns (limbs, carry_out)."""
+    out = np.empty_like(sums)
+    carry = np.zeros(sums.shape[0], dtype=sums.dtype)
+    for i in range(sums.shape[1]):
+        t = sums[:, i] + carry
+        out[:, i] = t & 0xFFFF
+        carry = t >> 16
+    return out, carry
+
+
+def _pol_mul_lo_vec(a: np.ndarray, b: np.ndarray, n: int) -> np.ndarray:
+    out = np.zeros((a.shape[0], n), dtype=np.int64)
+    for deg in range(n):
+        for i in range(deg + 1):
+            out[:, deg] += a[:, i] * b[:, deg - i]
+    return out
+
+
+def _pol_mul_wide_vec(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n,16) x (n,16) -> (n,31)."""
+    out = np.zeros((a.shape[0], 2 * N_LIMBS - 1), dtype=np.int64)
+    for i in range(N_LIMBS):
+        out[:, i:i + N_LIMBS] += a[:, i:i + 1] * b
+    return out
+
+
+def _pol_mul_wide2_vec(q: np.ndarray, m: np.ndarray) -> np.ndarray:
+    """(n,32) x (n,16) -> (n,47)."""
+    out = np.zeros((q.shape[0], 3 * N_LIMBS - 1), dtype=np.int64)
+    for i in range(N_LIMBS):
+        out[:, i:i + 2 * N_LIMBS] += m[:, i:i + 1] * q
+    return out
+
+
+def _pol_remove_root_vec(a: np.ndarray, n: int) -> np.ndarray:
+    """Vector pol_remove_root_2exp (exact division by x - 2^16; numpy's
+    arithmetic >> matches python's floor shift on negatives)."""
+    q = np.zeros((a.shape[0], n), dtype=np.int64)
+    q[:, 0] = -(a[:, 0] >> 16)
+    for deg in range(1, n - 1):
+        q[:, deg] = (q[:, deg - 1] - a[:, deg]) >> 16
+    return q
+
+
+def _gen_mul_core_vec(M, r, a_limbs, b_limbs):
+    unreduced = _pol_mul_lo_vec(a_limbs, b_limbs, N_LIMBS)
+    out, cy = _carry_prop(unreduced)
+    M[r[:, None], np.array(OUTPUT_REGISTER)] = out
+    aux = _pol_remove_root_vec(unreduced - out, N_LIMBS)
+    aux[:, N_LIMBS - 1] = -cy
+    aux += AUX_COEFF_ABS_MAX
+    M[r[:, None], np.array(MUL_AUX_INPUT_LO)] = aux & 0xFFFF
+    M[r[:, None], np.array(MUL_AUX_INPUT_HI)] = (aux >> 16) & 0xFFFF
+
+
+def _modular_batch(M, r, flags, in_poly, mod_limbs, input_vals, moduli,
+                   div_like):
+    """Shared two-row modular machinery (generate_modular_op,
+    modular.rs:211-341) for a family batch. `r` are first-row indices
+    (second row = r+1). Returns (output_limbs, quot_limbs_stored)."""
+    n = len(input_vals)
+    mod_is_zero = np.array([m == 0 for m in moduli], dtype=np.int64)
+    eff_mod, eff_limbs = [], mod_limbs.copy()
+    for i, m in enumerate(moduli):
+        if m == 0:
+            if div_like[i]:
+                eff_mod.append(1 << 256)
+            else:
+                eff_mod.append(1)
+                eff_limbs[i, 0] = 1
+        else:
+            eff_mod.append(m)
+    outputs, quots = [], []
+    for iv, m in zip(input_vals, eff_mod):
+        o = iv % m
+        outputs.append(o)
+        quots.append((iv - o) // m)
+    out_limbs = _ints_to_limbs(outputs, N_LIMBS)
+    negq = np.array([q < 0 for q in quots], dtype=bool)
+    quot_abs = _ints_to_limbs([abs(q) for q in quots], 2 * N_LIMBS)
+    quot_signed = np.where(negq[:, None], -quot_abs, quot_abs)
+    out_aux_red = _ints_to_limbs(
+        [(1 << 256) - m + o for m, o in zip(eff_mod, outputs)], N_LIMBS)
+
+    constr = np.zeros((n, 2 * N_LIMBS), dtype=np.int64)
+    constr[:, :in_poly.shape[1]] = in_poly
+    constr[:, :N_LIMBS] -= out_limbs
+    prod = _pol_mul_wide2_vec(quot_signed, eff_limbs)
+    assert not prod[:, 2 * N_LIMBS:].any(), "quot*mod overflow"
+    constr -= prod[:, :2 * N_LIMBS]
+    aux = _pol_remove_root_vec(constr, 2 * N_LIMBS) + AUX_COEFF_ABS_MAX
+    assert aux.min(initial=AUX_COEFF_ABS_MAX) >= 0 \
+        and aux.max(initial=0) <= 2 * AUX_COEFF_ABS_MAX
+    r2 = r + 1
+    M[r2[:, None], np.array(MODULAR_AUX_INPUT_LO)] = \
+        aux[:, :2 * N_LIMBS - 1] & 0xFFFF
+    M[r2[:, None], np.array(MODULAR_AUX_INPUT_HI)] = \
+        (aux[:, :2 * N_LIMBS - 1] >> 16) & 0xFFFF
+
+    is_sub = np.isin(flags, (IS_SUBMOD, IS_SUBFP254))
+    if is_sub.any():
+        assert not quot_abs[is_sub, N_LIMBS:].any()
+        lo = quot_signed[:, :N_LIMBS]
+        lo = np.where((is_sub & negq)[:, None], lo + 0xFFFF, lo)
+        hi = quot_signed[:, N_LIMBS:].copy()
+        hi[is_sub & negq, :] = 0
+        hi[is_sub & negq, 0] = 1
+        quot_signed = np.concatenate([lo, hi], axis=1)
+
+    M[r2, MODULAR_MOD_IS_ZERO] = mod_is_zero
+    M[r2[:, None], np.array(MODULAR_OUT_AUX_RED)] = out_aux_red
+    M[r2, MODULAR_DIV_DENOM_IS_ZERO] = mod_is_zero * div_like
+    return out_limbs, quot_signed
+
+
+def _rows_from_raw(raw: np.ndarray) -> np.ndarray:
+    """(n_ops, 20) raw ops -> (n_rows, NUM_COLUMNS) int64 row block,
+    in op order (two-row families occupy consecutive rows)."""
+    n_ops = raw.shape[0]
+    flags = _kind_flag_table()[raw[:, 1].astype(np.int64)]
+    two_row = np.isin(flags, list(TWO_ROW_FLAGS))
+    r0 = np.zeros(n_ops, dtype=np.int64)
+    if n_ops:
+        np.cumsum(1 + two_row[:-1], out=r0[1:])
+    n_rows = int(r0[-1] + 1 + two_row[-1]) if n_ops else 0
+    M = np.zeros((n_rows, NUM_COLUMNS), dtype=np.int64)
+    M[r0, flags] = 1
+
+    in0_l = _words_to_limbs(raw[:, 4:8])
+    in1_l = _words_to_limbs(raw[:, 8:12])
+    in2_l = _words_to_limbs(raw[:, 12:16])
+    IN0 = np.array(INPUT_REGISTER_0)
+    IN1 = np.array(INPUT_REGISTER_1)
+    IN2 = np.array(INPUT_REGISTER_2)
+    OUT = np.array(OUTPUT_REGISTER)
+    AUX0 = np.array(AUX_INPUT_REGISTER_0)
+    QUO = np.array(MODULAR_QUO_INPUT)
+
+    def ints(sel, words):
+        return _words_to_ints(raw[sel, words[0]:words[1]])
+
+    # ---- range_check: single row, inputs + result verbatim
+    sel = flags == IS_RANGE_CHECK
+    if sel.any():
+        r = r0[sel]
+        M[r, OPCODE_COL] = raw[sel, 2].astype(np.int64)
+        M[r[:, None], IN0] = in0_l[sel]
+        M[r[:, None], IN1] = in1_l[sel]
+        M[r[:, None], IN2] = in2_l[sel]
+        res = _words_to_limbs(raw[:, 16:20])
+        res[raw[:, 3] == 0] = 0
+        M[r[:, None], OUT] = res[sel]
+
+    # ---- add/sub/lt/gt: carry identity
+    sel = np.isin(flags, (IS_ADD, IS_SUB, IS_LT, IS_GT))
+    if sel.any():
+        r = r0[sel]
+        f = flags[sel]
+        a, b = in0_l[sel], in1_l[sel]
+        M[r[:, None], IN0] = a
+        M[r[:, None], IN1] = b
+        add_res, add_cy = _carry_prop(a + b)
+        # x - y mod 2^256 via (x + (2^16-1-y) + 1): borrow-free form
+        sub_res, sub_k = _carry_prop(a - b + 0xFFFF + (np.arange(16) == 0))
+        sub_cy = 1 - sub_k                       # 1 iff a < b
+        gt_res, gt_k = _carry_prop(b - a + 0xFFFF + (np.arange(16) == 0))
+        gt_cy = 1 - gt_k
+        cy_limbs = np.zeros_like(a)
+        is_add = (f == IS_ADD)[:, None]
+        is_sub = (f == IS_SUB)[:, None]
+        is_lt = (f == IS_LT)[:, None]
+        is_gt = (f == IS_GT)[:, None]
+        cy = np.where(f == IS_ADD, add_cy,
+                      np.where(f == IS_GT, gt_cy, sub_cy))
+        cy_limbs[:, 0] = cy
+        out = np.where(is_add, add_res,
+                       np.where(is_sub, sub_res,
+                                np.where(is_lt, cy_limbs,
+                                         np.where(is_gt, cy_limbs, 0))))
+        aux = np.where(is_add | is_sub, cy_limbs,
+                       np.where(is_lt, sub_res, gt_res))
+        M[r[:, None], AUX0] = aux
+        M[r[:, None], OUT] = out
+
+    # ---- mul
+    sel = flags == IS_MUL
+    if sel.any():
+        r = r0[sel]
+        M[r[:, None], IN0] = in0_l[sel]
+        M[r[:, None], IN1] = in1_l[sel]
+        _gen_mul_core_vec(M, r, in0_l[sel], in1_l[sel])
+
+    # ---- byte: multiplexer tree
+    sel = flags == IS_BYTE
+    if sel.any():
+        r = r0[sel]
+        idx_l, val_l = in0_l[sel], in1_l[sel]
+        idx0 = idx_l[:, 0]
+        M[r[:, None], IN0] = idx_l
+        M[r[:, None], IN1] = val_l
+        for i in range(5):
+            M[r, BYTE_IDX_DECOMP[i]] = (idx0 >> i) & 1
+        M[r, BYTE_IDX_DECOMP_HI] = idx0 >> 5
+        hi_sum = (idx0 >> 5) + idx_l[:, 1:].sum(axis=1)
+        hi_inv = np.array(
+            [pow(int(h) % P, P - 2, P) if int(h) % P else 1
+             for h in hi_sum],
+            dtype=np.uint64)
+        for k in range(4):
+            M[r, BYTE_IDX_HI_LIMB_SUM_INV[k]] = \
+                ((hi_inv >> np.uint64(16 * k))
+                 & np.uint64(0xFFFF)).astype(np.int64)
+        M[r, BYTE_IDX_IS_LARGE] = (hi_sum != 0).astype(np.int64)
+        tree_cols = []
+        lvl = np.where(((idx0 >> 4) & 1)[:, None] == 0,
+                       val_l[:, 8:], val_l[:, :8])
+        tree_cols.append(lvl)
+        lvl = np.where(((idx0 >> 3) & 1)[:, None] == 0,
+                       lvl[:, 4:], lvl[:, :4])
+        tree_cols.append(lvl)
+        lvl = np.where(((idx0 >> 2) & 1)[:, None] == 0,
+                       lvl[:, 2:], lvl[:, :2])
+        tree_cols.append(lvl)
+        limb = np.where(((idx0 >> 1) & 1) == 0, lvl[:, 1], lvl[:, 0])
+        tree_cols.append(limb[:, None])
+        lo, hi = limb & 0xFF, limb >> 8
+        M[r, BYTE_LAST_LIMB_LO] = lo << 8
+        M[r, BYTE_LAST_LIMB_HI] = hi
+        out_byte = np.where((idx0 & 1) != 0, lo, hi)
+        tree_cols.append(out_byte[:, None])
+        M[r[:, None], np.array(AUX_INPUT_REGISTER_1)] = \
+            np.concatenate(tree_cols, axis=1)
+        # result = out_byte if idx < 32 else 0 (idx >= 32 iff any higher
+        # limb or idx0 >= 32)
+        small = (hi_sum == 0) & (idx0 < 32)
+        M[r[:, None], OUT] = 0
+        M[r, OUT[0]] = np.where(small, out_byte, 0)
+
+    # ---- shl: value * (1 << shift) via the mul core
+    sel = flags == IS_SHL
+    if sel.any():
+        r = r0[sel]
+        shift_i = ints(sel, (4, 8))
+        disp = [(1 << s) & U256_MASK if s < 256 else 0 for s in shift_i]
+        disp_l = _ints_to_limbs(disp, N_LIMBS)
+        M[r[:, None], IN0] = in0_l[sel]
+        M[r[:, None], IN1] = in1_l[sel]
+        M[r[:, None], IN2] = disp_l
+        _gen_mul_core_vec(M, r, in1_l[sel], disp_l)
+
+    # ---- ternary modular + fp254 (two rows)
+    sel = np.isin(flags, (IS_ADDMOD, IS_MULMOD, IS_SUBMOD,
+                          IS_ADDFP254, IS_MULFP254, IS_SUBFP254))
+    if sel.any():
+        r = r0[sel]
+        f = flags[sel]
+        a_l, b_l, m_l = in0_l[sel], in1_l[sel], in2_l[sel].copy()
+        a_i = ints(sel, (4, 8))
+        b_i = ints(sel, (8, 12))
+        m_i = ints(sel, (12, 16))
+        # fp254 ops fix the modulus to BN_BASE regardless of the
+        # recorded third operand (op_to_rows/_gen_ternary contract)
+        fp = np.isin(f, (IS_ADDFP254, IS_MULFP254, IS_SUBFP254))
+        if fp.any():
+            m_l[fp] = np.array(_to_limbs(BN_BASE), dtype=np.int64)
+            m_i = [BN_BASE if is_fp else m
+                   for m, is_fp in zip(m_i, fp)]
+        M[r[:, None], IN0] = a_l
+        M[r[:, None], IN1] = b_l
+        M[r[:, None], IN2] = m_l
+        in_poly = np.zeros((len(r), 2 * N_LIMBS - 1), dtype=np.int64)
+        ivs = []
+        for k, (fl, ai, bi) in enumerate(zip(f, a_i, b_i)):
+            if fl in (IS_ADDMOD, IS_ADDFP254):
+                ivs.append(ai + bi)
+            elif fl in (IS_SUBMOD, IS_SUBFP254):
+                ivs.append(ai - bi)
+            else:
+                ivs.append(ai * bi)
+        add_m = np.isin(f, (IS_ADDMOD, IS_ADDFP254))
+        sub_m = np.isin(f, (IS_SUBMOD, IS_SUBFP254))
+        mul_m = ~(add_m | sub_m)
+        in_poly[add_m, :N_LIMBS] = (a_l + b_l)[add_m]
+        in_poly[sub_m, :N_LIMBS] = (a_l - b_l)[sub_m]
+        if mul_m.any():
+            in_poly[mul_m] = _pol_mul_wide_vec(a_l[mul_m], b_l[mul_m])
+        out_limbs, quot = _modular_batch(
+            M, r, f, in_poly, m_l, ivs, m_i,
+            np.zeros(len(r), dtype=np.int64))
+        M[r[:, None], OUT] = out_limbs
+        M[r[:, None], QUO] = quot
+
+    # ---- div / mod / shr (two rows)
+    sel = np.isin(flags, (IS_DIV, IS_MOD, IS_SHR))
+    if sel.any():
+        r = r0[sel]
+        f = flags[sel]
+        is_shr = f == IS_SHR
+        M[r[:, None], IN0] = in0_l[sel]
+        M[r[:, None], IN1] = in1_l[sel]
+        in0_i = ints(sel, (4, 8))
+        in1_i = ints(sel, (8, 12))
+        num_i = [b if s else a
+                 for a, b, s in zip(in0_i, in1_i, is_shr)]
+        den_i = [((1 << a) & U256_MASK if a < 256 else 0) if s else b
+                 for a, b, s in zip(in0_i, in1_i, is_shr)]
+        num_l = np.where(is_shr[:, None], in1_l[sel], in0_l[sel])
+        den_l = _ints_to_limbs(den_i, N_LIMBS)
+        if is_shr.any():
+            M[r[is_shr][:, None], IN2] = den_l[is_shr]
+        in_poly = np.zeros((len(r), 2 * N_LIMBS - 1), dtype=np.int64)
+        in_poly[:, :N_LIMBS] = num_l
+        out_limbs, quot = _modular_batch(
+            M, r, f, in_poly, den_l, num_i, den_i,
+            np.where(f == IS_MOD, 0, 1).astype(np.int64))
+        assert not quot[:, N_LIMBS:].any()
+        div_like = (f != IS_MOD)[:, None]
+        M[r[:, None], AUX0] = np.where(div_like, out_limbs,
+                                       quot[:, :N_LIMBS])
+        M[r[:, None], OUT] = np.where(div_like, quot[:, :N_LIMBS],
+                                      out_limbs)
+    return M
+
+
+def generate_trace(ops, min_rows: int = RANGE_MAX,
                    range_max: int = RANGE_MAX) -> np.ndarray:
     """`range_max` parameterizes the 16-bit range check table size
     (production: 2^16, forcing >= 2^16 rows as in the reference's degree
     range 2^16..2^23; tests may shrink it together with matching small
-    operand values)."""
-    rows: list[list[int]] = []
-    for op in ops:
-        rows.extend(op_to_rows(op))
+    operand values). `ops` is a list[Op] or the native (n, 20) raw
+    export; both build rows through the same vectorized path."""
+    raw = ops if isinstance(ops, np.ndarray) else _raw_from_ops(ops)
+    M = _rows_from_raw(raw)
+    n_rows_used = M.shape[0]
     n = max(min_rows, range_max, 1)
-    while n < len(rows):
+    while n < n_rows_used:
         n *= 2
     trace = np.zeros((NUM_COLUMNS, n), dtype=np.uint64)
-    if rows:
-        trace[:, :len(rows)] = np.array(rows, dtype=np.uint64).T
+    if n_rows_used:
+        neg = M < 0
+        Mu = M.astype(np.uint64)
+        if neg.any():
+            Mu[neg] = np.uint64(P) - (-M[neg]).astype(np.uint64)
+        trace[:, :n_rows_used] = Mu.T
     # range counter: 0..range_max-1 then clamped
     trace[RANGE_COUNTER, :range_max] = np.arange(range_max, dtype=np.uint64)
     trace[RANGE_COUNTER, range_max:] = range_max - 1

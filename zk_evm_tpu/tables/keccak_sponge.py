@@ -65,9 +65,12 @@ class KeccakSpongeOp:
 
 
 def _keccakf_u32s(state_u32s):
+    from .. import native
     lanes = [state_u32s[2 * i] | (state_u32s[2 * i + 1] << 32)
              for i in range(25)]
-    out = keccak_f(lanes)
+    out = native.keccak_f_lanes(lanes)
+    if out is None:
+        out = keccak_f(lanes)
     res = []
     for lane in out:
         res.append(lane & 0xFFFFFFFF)

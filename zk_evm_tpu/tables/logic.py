@@ -91,15 +91,29 @@ def generate_trace(ops: list[tuple[str, int, int]],
     while n < len(ops):
         n *= 2
     cols = np.zeros((NUM_COLUMNS, n), dtype=np.uint64)
-    for r, (op, x, y) in enumerate(ops):
-        flag = {"and": IS_AND, "or": IS_OR, "xor": IS_XOR}[op]
-        cols[flag, r] = 1
-        res = {"and": x & y, "or": x | y, "xor": x ^ y}[op]
-        for i in range(256):
-            cols[INPUT0 + i, r] = (x >> i) & 1
-            cols[INPUT1 + i, r] = (y >> i) & 1
-        for j in range(8):
-            cols[RESULT + j, r] = (res >> (32 * j)) & 0xFFFFFFFF
+    k = len(ops)
+    if not k:
+        return cols
+    flag_of = {"and": IS_AND, "or": IS_OR, "xor": IS_XOR}
+    flags = np.array([flag_of[op] for op, _, _ in ops], dtype=np.int64)
+    xb = np.frombuffer(b"".join(x.to_bytes(32, "little")
+                                for _, x, _ in ops),
+                       dtype=np.uint8).reshape(k, 32)
+    yb = np.frombuffer(b"".join(y.to_bytes(32, "little")
+                                for _, _, y in ops),
+                       dtype=np.uint8).reshape(k, 32)
+    rows = np.arange(k)
+    cols[flags, rows] = 1
+    cols[INPUT0:INPUT0 + 256, :k] = \
+        np.unpackbits(xb, axis=1, bitorder="little").T
+    cols[INPUT1:INPUT1 + 256, :k] = \
+        np.unpackbits(yb, axis=1, bitorder="little").T
+    is_and = (flags == IS_AND)[:, None]
+    is_or = (flags == IS_OR)[:, None]
+    resb = np.where(is_and, xb & yb, np.where(is_or, xb | yb, xb ^ yb))
+    w = (np.uint64(1) << (np.uint64(8) * np.arange(4, dtype=np.uint64)))
+    limbs = (resb.reshape(k, 8, 4).astype(np.uint64) * w).sum(axis=2)
+    cols[RESULT:RESULT + 8, :k] = limbs.T
     return cols
 
 

@@ -473,11 +473,18 @@ class ZvmHandle:
                         stack, gas, kind])
         return out
 
-    def export_arith(self) -> list:
+    def export_arith_raw(self) -> np.ndarray:
+        """(n, 20) uint64 [step, kind, opcode, has_result, in0[4],
+        in1[4], in2[4], res[4]] — consumed directly by the vectorized
+        arithmetic table builder."""
         n = int(self._lib.zvm_arith_len(self._h))
         a = np.zeros((n, 20), dtype=np.uint64)
         if n:
             self._lib.zvm_export_arith(self._h, a)
+        return a
+
+    def export_arith(self) -> list:
+        a = self.export_arith_raw()
         al = a.tolist()
         out = []
         unlimb = _unlimb_list
@@ -622,11 +629,43 @@ def run_native(interp):
     return interp
 
 
+class LazyTrace:
+    """Sequence view over the native per-step trace: len() costs nothing
+    (the CPU-table rows are built natively off the same buffers, so most
+    runs never touch the python-object form); iteration/indexing
+    materializes once via export_trace."""
+
+    def __init__(self, z):
+        self._z = z
+        self._n = z.trace_len()
+        self._rows = None
+
+    def _mat(self):
+        if self._rows is None:
+            self._rows = self._z.export_trace()
+        return self._rows
+
+    def __len__(self):
+        return self._n
+
+    def __bool__(self):
+        return self._n > 0
+
+    def __iter__(self):
+        return iter(self._mat())
+
+    def __getitem__(self, i):
+        return self._mat()[i]
+
+
 def _export_state(interp, z):
     """Materialize the C++ trace/logs into the Interpreter's python
-    fields (same formats the pure-python run produces)."""
+    fields (same formats the pure-python run produces). The per-step
+    trace stays lazy — the native CPU-row builder reads the C++ buffers
+    directly and the python-object export costs ~20 us/cycle."""
     if interp.record_trace or z.trace_len():
-        interp.trace = z.export_trace()
+        interp.trace = LazyTrace(z)
+        interp.arith_raw = z.export_arith_raw()
         interp.arith_log = z.export_arith()
         interp.logic_log = z.export_logic()
         interp.sponge_log = z.export_sponge()

@@ -256,9 +256,14 @@ def generate_all_tables(interp, use_optional=True) -> GeneratedTables:
 
     cpu_trace, cpu_stark = cpu_rows_from_run(interp)
 
-    arith_ops = [arithmetic.Op(kind, in0, in1, in2, opcode, result)
-                 for _s, (kind, in0, in1, in2, opcode, result)
-                 in interp.arith_log]
+    # native runs export the (n, 20) raw op array; the vectorized
+    # arithmetic builder consumes it directly (python-object Ops only
+    # on the pure-python interpreter path)
+    arith_ops = getattr(interp, "arith_raw", None)
+    if arith_ops is None:
+        arith_ops = [arithmetic.Op(kind, in0, in1, in2, opcode, result)
+                     for _s, (kind, in0, in1, in2, opcode, result)
+                     in interp.arith_log]
 
     sponge_ops = [keccak_sponge.KeccakSpongeOp(ctx, seg, virt, ts_of(s),
                                                bytes(data))
