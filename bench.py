@@ -8,10 +8,17 @@ prover.rs:100-111). Metric: committed trace field-elements per second
 (polys * rows / wall), including the 2x LDE, full leaf hashing and tree
 reduction to a height-4 cap.
 
+Methodology (round 3): the iteration chain lives INSIDE one jitted
+lax.fori_loop with a seed-carried dependency, so a single dispatch covers
+all iterations — the axon tunnel costs 30-70 ms per dispatch+readback,
+and per-call chaining (rounds 1-2) measured the tunnel, not the chip
+(ROOFLINE.md). The dispatch floor is measured separately and subtracted.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The reference publishes no absolute numbers (BASELINE.md); vs_baseline is
-measured against the round-1 recorded value of this same benchmark, so the
-ratio tracks progress across rounds.
+vs_baseline is relative to the round-1 recorded value of this benchmark
+(15.0 Melem/s, dispatch-bound methodology); the methodology correction
+alone accounts for ~2.9x of the ratio — see ROOFLINE.md for the honest
+split between measurement fix and kernel speedups.
 """
 
 import json
@@ -20,8 +27,6 @@ import time
 
 import numpy as np
 
-# Round-1 anchor: median of device-chained runs on TPU v5 lite (shared
-# pool; occasional contention dips are environmental).
 BASELINE_MELEM_S = 15.0
 
 POLYS = 64
@@ -51,8 +56,29 @@ def _init_backend(timeout_s: float = 120.0) -> str:
     return "cpu"
 
 
+def _fori_time(f, x0, iters, floor=0.0):
+    """Seconds/iter for f(x, seed)->GF chained inside ONE jitted
+    fori_loop (single dispatch; XLA cannot elide iterations because the
+    seed threads through)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def loop(x, n):
+        def body(i, seed):
+            out = f(x, seed)
+            return out.lo.reshape(-1)[0]
+        return jax.lax.fori_loop(0, n, body, jnp.uint32(0))
+
+    loop(x0, iters).item()                      # compile + settle
+    t0 = time.time()
+    loop(x0, iters).item()
+    return max(time.time() - t0 - floor, 1e-9) / iters
+
+
 def main() -> None:
     import jax
+    import jax.numpy as jnp
     platform = _init_backend()
     global POLYS, LOG_N, ITERS
     if platform == "cpu":
@@ -63,6 +89,8 @@ def main() -> None:
     from zk_evm_tpu.compile_cache import enable_persistent_cache
     enable_persistent_cache()
     from zk_evm_tpu.field import GF, host
+    from zk_evm_tpu import ntt
+    from zk_evm_tpu.hash import poseidon as _poseidon
     from zk_evm_tpu.parallel import commit_cap
 
     rng = np.random.default_rng(42)
@@ -70,72 +98,37 @@ def main() -> None:
                           dtype=np.uint64)
     gf = GF.from_u64(values)
 
-    # NOTE on methodology: block_until_ready does not actually block on
-    # the axon tunnel backend and host readbacks measure the tunnel, not
-    # the chip — so iterations are chained on-device (each commit's input
-    # depends on the previous cap) and only the final scalar comes back.
-    import jax.numpy as jnp
-    from zk_evm_tpu.field import GF as _GF
-
+    # dispatch+readback floor (subtracted from each measurement)
     @jax.jit
-    def chained(values, seed):
-        seeded = _GF(values.lo.at[0, 0].add(seed), values.hi)
-        return commit_cap(seeded, cap_height=4)
-
-    cap = chained(gf, jnp.uint32(0))
-    cap.to_u64()                                  # compile + settle
-
+    def tiny(x):
+        return x + 1
+    s = jnp.uint32(3)
+    tiny(s).item()
     t0 = time.time()
-    seed = jnp.uint32(0)
-    for _ in range(ITERS):
-        cap = chained(gf, seed)
-        seed = cap.lo[0, 0]
-    seed.item()
-    dt = (time.time() - t0) / ITERS
+    for _ in range(5):
+        tiny(s).item()
+    floor = (time.time() - t0) / 5
 
+    def seeded(x, seed):
+        return GF(x.lo.at[0, 0].add(seed), x.hi)
+
+    dt = _fori_time(lambda x, sd: commit_cap(seeded(x, sd), cap_height=4),
+                    gf, ITERS, floor)
     elems = POLYS * (1 << LOG_N)
     melem_s = elems / dt / 1e6
 
-    # ---- north-star sub-metrics (BASELINE.json): NTT Gelem/s and
-    # Poseidon Mperm/s, measured with the same chained-iteration trick.
-    from zk_evm_tpu import ntt as _ntt
-    from zk_evm_tpu.hash import poseidon as _poseidon
-
-    @jax.jit
-    def chained_ntt(values, seed):
-        seeded = _GF(values.lo.at[0, 0].add(seed), values.hi)
-        return _ntt.lde_bitrev(seeded, rate_bits=1)
-
-    out = chained_ntt(gf, jnp.uint32(0))
-    out.to_u64()
-    t0 = time.time()
-    seed = jnp.uint32(0)
-    for _ in range(ITERS):
-        out = chained_ntt(gf, seed)
-        seed = out.lo[0, 0]
-    seed.item()
-    ntt_dt = (time.time() - t0) / ITERS
-    ntt_gelem_s = elems / ntt_dt / 1e9
+    # north-star sub-metrics (BASELINE.json): NTT Gelem/s, Poseidon Mperm/s
+    dt = _fori_time(
+        lambda x, sd: ntt.lde_bitrev(seeded(x, sd), rate_bits=1),
+        gf, ITERS, floor)
+    ntt_gelem_s = elems / dt / 1e9
 
     perm_rows = 1 << (18 if platform != "cpu" else 13)
-    hval = rng.integers(0, host.P, size=(perm_rows, 8), dtype=np.uint64)
+    hval = rng.integers(0, host.P, size=(perm_rows, 12), dtype=np.uint64)
     hgf = GF.from_u64(hval)
-
-    @jax.jit
-    def chained_perm(rows, seed):
-        seeded = _GF(rows.lo.at[0, 0].add(seed), rows.hi)
-        return _poseidon.hash_rows(seeded)
-
-    d = chained_perm(hgf, jnp.uint32(0))
-    d.to_u64()
-    t0 = time.time()
-    seed = jnp.uint32(0)
-    for _ in range(ITERS):
-        d = chained_perm(hgf, seed)
-        seed = d.lo[0, 0]
-    seed.item()
-    perm_dt = (time.time() - t0) / ITERS
-    mperm_s = perm_rows / perm_dt / 1e6
+    dt = _fori_time(lambda x, sd: _poseidon.permute(seeded(x, sd)),
+                    hgf, ITERS, floor)
+    mperm_s = perm_rows / dt / 1e6
 
     print(json.dumps({
         "metric": "trace_commit_throughput",
@@ -144,6 +137,8 @@ def main() -> None:
         "vs_baseline": round(melem_s / BASELINE_MELEM_S, 3),
         "ntt_gelem_s": round(ntt_gelem_s, 3),
         "poseidon_mperm_s": round(mperm_s, 2),
+        "dispatch_floor_ms": round(floor * 1e3, 1),
+        "methodology": "fori-chained-r3",
         "platform": platform,
     }))
 

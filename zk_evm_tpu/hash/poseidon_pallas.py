@@ -73,10 +73,63 @@ def _sbox7(lo, hi):
     return gl.mul(l6, h6, lo, hi)
 
 
+def _mds_tile_roll(lo, hi):
+    """MDS on a (12, T) uint32 pair via sublane rolls + small-constant
+    multiplies on 16-bit limb planes — no casts, no MXU. out[r] =
+    sum_i circ[i] * x[(r + i) % 12] + diag[r] * x[r]; products are
+    <= 41 * 2^16 and the 12-term accumulation stays < 2^26 per plane.
+    Bit-identical to _mds_tile (same carry chain + reduce128)."""
+    params = pp.default_params()
+    acc = [None] * 4
+
+    def add_term(acc_k, rolled, c, k):
+        half = (rolled[k // 2] >> np.uint32(16 * (k % 2))) & MASK16
+        term = half * np.uint32(c)
+        return term if acc_k is None else acc_k + term
+
+    for i, c in enumerate(params.mds_circ):
+        if c == 0:
+            continue
+        rl = pltpu.roll(lo, 12 - i, 0) if i else lo
+        rh = pltpu.roll(hi, 12 - i, 0) if i else hi
+        for k in range(4):
+            acc[k] = add_term(acc[k], (rl, rh), c, k)
+    # diag is (8, 0, ..., 0): add 8*x only on sublane 0 (iota mask — a
+    # captured numpy array constant is not allowed in a pallas kernel)
+    assert params.mds_diag[1:] == (0,) * 11 and params.mds_diag[0] == 8
+    row0 = jax.lax.broadcasted_iota(jnp.uint32, (12, 1), 0) == 0
+    for k in range(4):
+        half = ((lo, hi)[k // 2] >> np.uint32(16 * (k % 2))) & MASK16
+        acc[k] = acc[k] + jnp.where(row0, half << 3, 0)
+    t0 = acc[0] & MASK16
+    c0 = acc[0] >> 16
+    s1 = acc[1] + c0
+    t1 = s1 & MASK16
+    c1 = s1 >> 16
+    s2 = acc[2] + c1
+    t2 = s2 & MASK16
+    c2 = s2 >> 16
+    s3 = acc[3] + c2
+    t3 = s3 & MASK16
+    c3 = s3 >> 16
+    r0 = t0 | (t1 << 16)
+    r1 = t2 | (t3 << 16)
+    return gl.reduce128(r0, r1, c3, jnp.zeros_like(c3))
+
+
 def _rc_limb_tables():
     rcs = pp.round_constants_np()
     return (rcs & np.uint64(0xFFFFFFFF)).astype(np.uint32), \
         (rcs >> np.uint64(32)).astype(np.uint32)
+
+
+# MDS strategy: "roll" (sublane rolls + small-constant VPU multiplies)
+# or "matmul" (byte-plane f32 MXU). Both bit-identical (interpret-mode
+# checked against the exact host twin); the default flips to "roll"
+# once the on-chip timing + bit-exactness run confirms it (the 12x12
+# matmul pads to the 128x128 MXU tile at <1% utilization, so roll
+# should win on the VPU).
+MDS_IMPL = "matmul"
 
 
 def _rounds(lo, hi, rc_lo_tab, rc_hi_tab, mat_t):
@@ -101,11 +154,15 @@ def _rounds(lo, hi, rc_lo_tab, rc_hi_tab, mat_t):
 
     # fori_loop bodies keep the Mosaic program small (compile time for the
     # 30 unrolled rounds is minutes; looped it is seconds)
+    mds = (lambda lo, hi: _mds_tile_roll(lo, hi)) \
+        if MDS_IMPL == "roll" else \
+        (lambda lo, hi: _mds_tile(lo, hi, mat_t))
+
     def full_round(rnd, carry):
         lo, hi = carry
         lo, hi = add_rc(lo, hi, rnd)
         lo, hi = _sbox7(lo, hi)
-        lo, hi = _mds_tile(lo, hi, mat_t)
+        lo, hi = mds(lo, hi)
         return (lo, hi)
 
     def partial_round(rnd, carry):
@@ -114,7 +171,7 @@ def _rounds(lo, hi, rc_lo_tab, rc_hi_tab, mat_t):
         s0l, s0h = _sbox7(lo[:1, :], hi[:1, :])
         lo = jnp.concatenate([s0l, lo[1:, :]], axis=0)
         hi = jnp.concatenate([s0h, hi[1:, :]], axis=0)
-        lo, hi = _mds_tile(lo, hi, mat_t)
+        lo, hi = mds(lo, hi)
         return (lo, hi)
 
     lo, hi = jax.lax.fori_loop(0, h, full_round, (lo, hi))

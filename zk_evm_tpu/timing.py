@@ -82,8 +82,13 @@ _ACTIVE: contextvars.ContextVar[TimingTree | None] = \
 @contextlib.contextmanager
 def timed(name: str):
     """Time a phase under the ambient TimingTree, if one is active, and
-    feed the process-wide metrics registry either way (metrics.py)."""
+    feed the process-wide metrics registry either way (metrics.py).
+    Phases also log incrementally at info level so long proving runs
+    are observable while in flight (the reference logs every timed!
+    scope through env_logger as it closes)."""
+    import logging
     from . import metrics
+    log = logging.getLogger("zk_evm_tpu")
     tree = _ACTIVE.get()
     t0 = time.perf_counter()
     try:
@@ -93,4 +98,6 @@ def timed(name: str):
             with tree.scope(name) as node:
                 yield node
     finally:
-        metrics.observe(f"phase.{name}", time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        metrics.observe(f"phase.{name}", dt)
+        log.info("phase %-40s %8.2fs", name, dt)
