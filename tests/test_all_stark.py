@@ -16,56 +16,12 @@ from zk_evm_tpu.tables import (keccak, keccak_sponge as ks, logic,
                                memory as mem, memory_continuation as mc)
 from zk_evm_tpu.tables.segments import Segment
 
+from zk_evm_tpu.tables.scenarios import (build_sponge_scenario,
+                                          cpu_side_extra_sums)
+
 INPUT = b"hello"
 TS = 2
 CTX, SEG, VIRT = 0, Segment.MainMemory, 64
-
-
-def build_scenario():
-    """Construct consistent traces for one sponge op over INPUT."""
-    # sponge
-    sponge_op = ks.KeccakSpongeOp(CTX, SEG, VIRT, TS, INPUT)
-    sponge_trace = ks.generate_trace([sponge_op])
-
-    # padded block + xored state feed Keccak and Logic
-    block = bytearray(INPUT)
-    block.append(0x01)
-    block.extend(b"\x00" * (ks.RATE_BYTES - len(block)))
-    block[-1] |= 0x80
-    xored_u32s = [int.from_bytes(block[4 * i:4 * i + 4], "little")
-                  for i in range(ks.RATE_U32S)] + [0] * ks.CAPACITY_U32S
-    lanes = [xored_u32s[2 * i] | (xored_u32s[2 * i + 1] << 32)
-             for i in range(25)]
-    keccak_trace = keccak.generate_trace([(lanes, TS)])
-
-    # logic: 5 XOR ops (original rate = 0 for the single block)
-    logic_ops = []
-    for i in range(ks.NUM_LOGIC_CTLS):
-        chunk = block[32 * i:32 * i + 32]
-        y = int.from_bytes(bytes(chunk), "little")
-        logic_ops.append(("xor", 0, y))
-    logic_trace = logic.generate_trace(logic_ops)
-
-    # memory: one read per input byte at the sponge timestamp; initial
-    # values arrive as timestamp-0 writes from MemBefore
-    mem_before_values = [((CTX, SEG, VIRT + i), INPUT[i])
-                         for i in range(len(INPUT))]
-    mem_ops = [mem.MemoryOp(True, TS, CTX, SEG, VIRT + i, True, INPUT[i])
-               for i in range(len(INPUT))]
-    mem_trace, mem_after_values = mem.generate_trace(
-        mem_ops, mem_before_values=mem_before_values)
-
-    mem_before_trace = mc.generate_trace(mem_before_values)
-    mem_after_trace = mc.generate_trace(mem_after_values)
-
-    traces = [None] * ast.NUM_TABLES
-    traces[ast.Table.Keccak] = keccak_trace
-    traces[ast.Table.KeccakSponge] = sponge_trace
-    traces[ast.Table.Logic] = logic_trace
-    traces[ast.Table.Memory] = mem_trace
-    traces[ast.Table.MemBefore] = mem_before_trace
-    traces[ast.Table.MemAfter] = mem_after_trace
-    return traces, sponge_trace
 
 
 def _cfg():
@@ -95,7 +51,7 @@ def _extra_sums(proof, ctls, cfg, sponge_trace):
 
 
 def test_all_stark_sponge_scenario():
-    traces, sponge_trace = build_scenario()
+    traces, sponge_trace = build_sponge_scenario()
     starks = ast.all_starks()
     ctls = ast.all_cross_table_lookups()
     cfg = _cfg()
@@ -122,7 +78,7 @@ def test_all_stark_rejects_vacuous_proof():
 @pytest.mark.skipif("ZK_SLOW" not in __import__("os").environ,
                     reason="second full multi-table prove; set ZK_SLOW=1")
 def test_all_stark_rejects_wrong_memory_value():
-    traces, sponge_trace = build_scenario()
+    traces, sponge_trace = build_sponge_scenario()
     # corrupt one memory value: the sponge's byte reads no longer match
     mtrace = traces[ast.Table.Memory]
     rows = np.nonzero(mtrace[mem.TIMESTAMP] == TS)[0]

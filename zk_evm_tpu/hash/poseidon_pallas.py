@@ -124,12 +124,10 @@ def _rc_limb_tables():
 
 
 # MDS strategy: "roll" (sublane rolls + small-constant VPU multiplies)
-# or "matmul" (byte-plane f32 MXU). Both bit-identical (interpret-mode
-# checked against the exact host twin); the default flips to "roll"
-# once the on-chip timing + bit-exactness run confirms it (the 12x12
-# matmul pads to the 128x128 MXU tile at <1% utilization, so roll
-# should win on the VPU).
-MDS_IMPL = "matmul"
+# or "matmul" (byte-plane f32 MXU). Both bit-identical on chip vs the
+# exact host twin; roll measured 13.9 vs 12.2 Mperm/s on v5e (the
+# 12x12 matmul pads to the 128x128 MXU tile at <1% utilization).
+MDS_IMPL = "roll"
 
 
 def _rounds(lo, hi, rc_lo_tab, rc_hi_tab, mat_t):

@@ -60,7 +60,8 @@ def prove_all(starks: list[Stark], traces: list[np.ndarray | None],
               public_values=None,
               table_public_inputs: dict[int, list[int]] | None = None,
               parallel_commits: bool = False,
-              devices: list | None = None) -> AllProof:
+              devices: list | None = None,
+              mesh=None) -> AllProof:
     """Prove every in-use table under one transcript. traces[i] may be
     None for unused optional tables (zero-cap observed, no proof).
     `public_values` (a PublicValues) takes the place of raw
@@ -69,7 +70,11 @@ def prove_all(starks: list[Stark], traces: list[np.ndarray | None],
     `table_public_inputs[t]` feeds table t's per-proof public inputs
     (e.g. the Rvm's PUB bindings) without re-observing them — the
     global observation already covers them when the caller passes the
-    same values in `public_inputs`."""
+    same values in `public_inputs`.
+    `mesh`: a jax.sharding.Mesh — every table's commitment and proof
+    computes rows-sharded over it (SURVEY §2.9 P1); caps and proofs are
+    bit-identical to the single-device run (Appendix A determinism),
+    asserted in tests/test_sharded_prove.py."""
     if public_values is not None:
         assert public_inputs is None, \
             "pass public_values OR raw public_inputs, not both"
@@ -120,9 +125,12 @@ def prove_all(starks: list[Stark], traces: list[np.ndarray | None],
                 caps.append(_zero_cap(config))
                 continue
             with timed(f"commit {stark.name} trace"):
+                tr = GF.from_u64(trace[stark.num_preprocessed:])
+                if mesh is not None:
+                    from .prover import shard_rows
+                    tr = shard_rows(tr, mesh)
                 b = PolynomialBatch.from_values(
-                    GF.from_u64(trace[stark.num_preprocessed:]),
-                    rate_bits=config.rate_bits,
+                    tr, rate_bits=config.rate_bits,
                     cap_height=config.cap_height)
             batches.append(b)
             caps.append(b.cap_ints())
@@ -140,7 +148,8 @@ def prove_all(starks: list[Stark], traces: list[np.ndarray | None],
                 stark, trace, config, challenger,
                 public_inputs=(table_public_inputs or {}).get(t),
                 challenges=challenges, ctl_groups=groups,
-                observe_trace_cap=False, trace_batch=batches[t]))
+                observe_trace_cap=False, trace_batch=batches[t],
+                mesh=mesh))
     return AllProof(proofs=proofs, table_in_use=table_in_use,
                     public_inputs=list(public_inputs),
                     public_values=public_values)
