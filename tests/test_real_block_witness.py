@@ -92,3 +92,33 @@ def test_ci_scale_blocks_generate_tables(kernel, artifact, max_cycles):
             for trace, stark in zip(gt.traces, gt.starks):
                 if trace is not None:
                     check_constraints_np(stark, trace)
+
+
+@pytest.mark.skipif("ZK_SLOW" not in os.environ,
+                    reason="proves a real mainnet-shaped batch; ZK_SLOW=1")
+def test_prove_b1033_batch_segment_chain():
+    """PROVE (not just constraint-check) one real b1033 batch: a full
+    zk-continuation segment chain at test config, verified through the
+    block verifier (kernel-cap binding + extra looking sums + register
+    and MemAfter/MemBefore chaining) — the proving half of the reference
+    CI's witness_b1033 job (.github/workflows/ci.yml:166-195)."""
+    from zk_evm_tpu.decoder import parse_block_prover_input, entrypoint
+    from zk_evm_tpu.witness.assembler import combined_kernel
+    from zk_evm_tpu.witness.segments import generate_segment_tables
+    from zk_evm_tpu.orchestration.block import prove_block, verify_segments
+    from zk_evm_tpu.stark.config import StarkConfig
+
+    path = os.path.join(os.path.dirname(WITNESSES), "witness_b1033.json")
+    if not os.path.exists(path):
+        pytest.skip("witness_b1033.json not mounted")
+    blocks = json.load(open(path))
+    bpi = parse_block_prover_input(blocks[0] if isinstance(blocks, list)
+                                   else blocks)
+    gi = entrypoint(bpi, batch_size_hint=2)[0]   # 2 real txns
+    kernel = combined_kernel()
+    cfg = StarkConfig.test_config()
+    proofs = [prove_block(gt, cfg)
+              for _seg, gt in generate_segment_tables(
+                  kernel, gi, max_cpu_len_log=17)]
+    assert len(proofs) >= 1
+    verify_segments(proofs, kernel, cfg)

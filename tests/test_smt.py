@@ -71,3 +71,38 @@ def test_account_keys_distinct():
     keys = {key_balance(addr).limbs, key_nonce(addr).limbs,
             key_storage(addr, 0).limbs, key_storage(addr, 1).limbs}
     assert len(keys) == 4
+
+
+def test_serialize_and_prune_roundtrip():
+    """Kernel TrieData format (smt.rs:404-506): full and pruned
+    serializations both commit to the same root via hash_serialize."""
+    from zk_evm_tpu.smt.smt import (hash_serialize, HASH_TYPE, LEAF_TYPE)
+    addr1 = bytes.fromhex("00" * 19 + "01")
+    addr2 = bytes.fromhex("aa" * 20)
+    addr3 = bytes.fromhex("3d" * 20)
+    s = Smt()
+    s.set(key_balance(addr1), 10**18)
+    s.set(key_nonce(addr1), 5)
+    s.set(key_balance(addr2), 42)
+    s.set(key_storage(addr3, 7), 0xDEAD)
+    root = s.root()
+    v = s.serialize()
+    assert hash_serialize(v) == root
+    vp = s.serialize_and_prune([key_balance(addr1)])
+    assert hash_serialize(vp) == root
+    assert len(vp) < len(v), "pruning did not shrink the serialization"
+    assert HASH_TYPE in vp[2:] and LEAF_TYPE in vp[2:]
+    # ptr=0 is the canonical empty node; root at ptr=2
+    assert v[:2] == [0, 0]
+
+
+def test_serialize_empty_and_caps():
+    from zk_evm_tpu.smt.smt import hash_serialize
+    assert Smt().serialize() == [0, 0, 0, 0]
+    addr1 = bytes.fromhex("00" * 19 + "01")
+    addr2 = bytes.fromhex("aa" * 20)
+    s = Smt()
+    s.set(key_balance(addr1), 1)
+    cap_path = tuple(key_balance(addr2).bit(t) for t in range(3))
+    s.set_hash(cap_path, (1, 2, 3, 4))
+    assert hash_serialize(s.serialize()) == s.root()

@@ -102,6 +102,48 @@ def key_code_length(address: bytes) -> Key:
     return _key_of_type(address, 4)
 
 
+# node type tags in the serialized format (smt.rs:18-20)
+HASH_TYPE = 0
+INTERNAL_TYPE = 1
+LEAF_TYPE = 2
+
+
+def _pack4(limbs) -> int:
+    """4 u64 limbs -> u256 (key2u/hashout2u packing)."""
+    return sum(int(x) << (64 * i) for i, x in enumerate(limbs))
+
+
+def _unpack4(v: int) -> tuple:
+    return tuple((v >> (64 * i)) & 0xFFFFFFFFFFFFFFFF for i in range(4))
+
+
+def hash_serialize(v: list[int], ptr: int = 2) -> tuple:
+    """Recompute the root digest of a serialized (possibly pruned) SMT
+    (smt.rs:508-546) — the verifier-side cross-check that the kernel
+    format commits to the same tree."""
+    tag = v[ptr]
+    if tag == HASH_TYPE:
+        return _unpack4(v[ptr + 1])
+    if tag == INTERNAL_TYPE:
+        parts = []
+        for b in range(2):
+            child = v[ptr + 1 + b]
+            if child == 0:
+                parts += [0, 0, 0, 0]
+            else:
+                parts += list(hash_serialize(v, int(child)))
+        return hash0(parts)
+    if tag == LEAF_TYPE:
+        rem_key = _unpack4(v[ptr + 1])
+        value_h = hash0(_value_limbs(v[ptr + 2]))
+        return hash1(list(rem_key) + list(value_h))
+    raise ValueError(f"bad node tag {tag} at ptr {ptr}")
+
+
+def hash_serialize_u256(v: list[int]) -> int:
+    return _pack4(hash_serialize(v))
+
+
 class Smt:
     def __init__(self):
         self.kv: dict[Key, int] = {}
@@ -148,3 +190,57 @@ class Smt:
         lh = self._root_rec(left, path + (0,))
         rh = self._root_rec(right, path + (1,))
         return hash0(list(lh) + list(rh))
+
+    # ------------------------------------------------------------------
+    # Kernel memory format (smt_trie/src/smt.rs:404-506)
+    # ------------------------------------------------------------------
+    def serialize_and_prune(self, keys=None) -> list[int]:
+        """Serialize the SMT into the kernel's TrieData format, hashing
+        out every subtree not on the path of one of `keys`
+        (smt.rs:415-439). Starts with [0, 0] so ptr=0 is the canonical
+        empty node; the root lands at ptr=2. Node encodings:
+        HASH [0, digest_u256], INTERNAL [1, left_ptr, right_ptr],
+        LEAF [2, rem_key_u256, value]."""
+        if keys is None:
+            keys = list(self.kv.keys())
+        include: set[tuple] = set()
+        for k in keys:
+            bits = tuple(k.bit(t) for t in range(256))
+            for i in range(257):
+                include.add(bits[:i])
+        v = [0, 0]
+        self._serialize(list(self.kv.items()), (), v, include)
+        if len(v) == 2:
+            v.extend([0, 0])
+        return v
+
+    def serialize(self) -> list[int]:
+        """Serialize with every key included (smt.rs:441-444)."""
+        return self.serialize_and_prune(list(self.kv.keys()))
+
+    def _serialize(self, items, path, v, include) -> int:
+        digest = self._root_rec(items, path)
+        if digest == (0, 0, 0, 0):
+            return 0
+        d = len(path)
+        pruned = path not in include or path in self.hash_nodes
+        if pruned:
+            idx = len(v)
+            v.append(HASH_TYPE)
+            v.append(_pack4(digest))
+            return idx
+        has_caps = any(p[:d] == path for p in self.hash_nodes if p != path)
+        if len(items) == 1 and not has_caps:
+            key, value = items[0]
+            idx = len(v)
+            v.append(LEAF_TYPE)
+            v.append(_pack4(key.remove_bits(d).limbs))
+            v.append(value)
+            return idx
+        idx = len(v)
+        v.extend([INTERNAL_TYPE, 0, 0])
+        left = [(k, val) for k, val in items if k.bit(d) == 0]
+        right = [(k, val) for k, val in items if k.bit(d) == 1]
+        v[idx + 1] = self._serialize(left, path + (0,), v, include)
+        v[idx + 2] = self._serialize(right, path + (1,), v, include)
+        return idx

@@ -303,63 +303,144 @@ def _batch_combined(trace_gf: GF, nxt_gf: GF, combos, beta: int) -> GF:
     return acc
 
 
-def generate_aux_trace(trace_gf: GF, lookups: list[Lookup],
-                       groups, challenges: ChallengeSet) -> GF | None:
-    """Build all aux columns for one table. trace_gf: (cols, n); `groups`
-    from ctl_groups_for_table. Returns (num_aux, n) GF or None.
+def _flatten_combo_pos(columns):
+    """Like _flatten_combo but keeps the gamma POSITION symbolic:
+    returns (cur, nxt, consts) with entries (col, coeff, pos) /
+    (coeff, pos) — the gamma^pos weights are applied on device from a
+    TRACED gamma, so one compiled program serves every challenge."""
+    cur, nxt, consts = [], [], []
+    for pos, c in enumerate(columns):
+        e = _coerce_expr(c)
+        for col_i, k in e.terms:
+            cur.append((col_i, k % host.P, pos))
+        for col_i, k in e.next_terms:
+            nxt.append((col_i, k % host.P, pos))
+        if e.const:
+            consts.append((e.const % host.P, pos))
+    return cur, nxt, consts
 
-    All denominators of one challenge invert in a single batched device
-    call, and all running sums share one associative scan."""
-    cols = trace_gf
-    uses_next = any(
-        _coerce_expr(e).uses_next()
-        for lk in lookups for e in list(lk.looking_columns)
-        + [lk.table_column]) or any(
-        _coerce_expr(c).uses_next()
-        for _ci, _s, views in groups for v in views for c in v.columns)
-    nxt_gf = trace_gf.roll(-1, axis=-1) if uses_next else trace_gf
-    out: list[GF] = []
-    for beta, gamma in challenges.pairs:
-        combos = []
-        lk_plan = []
-        for lk in lookups:
-            ids = []
-            for e in lk.looking_columns:
-                ids.append(len(combos))
-                combos.append(_flatten_combo((e,), 0))
-            tid = len(combos)
-            combos.append(_flatten_combo((lk.table_column,), 0))
-            lk_plan.append((lk, ids, tid))
-        grp_plan = []
-        for _ci, _side, views in groups:
-            vids = []
-            for v in views:
-                vids.append(len(combos))
-                combos.append(_flatten_combo(v.columns, gamma))
-            grp_plan.append((views, vids))
 
-        inv_rows = _batch_combined(trace_gf, nxt_gf, combos, beta).inv()
+_AUX_FN_CACHE: dict = {}
+
+
+def _combo_plan(lookups, groups):
+    """Static per-table combo plan shared by aux generation and the
+    jitted constraint evaluation: padded (idx, coeff, gamma-pos) arrays
+    for every looking/looked view, in the canonical order (per lookup:
+    looking columns then the table column; then every CTL view)."""
+    combos = []
+    for lk in lookups:
+        for e in lk.looking_columns:
+            combos.append(_flatten_combo_pos((e,)))
+        combos.append(_flatten_combo_pos((lk.table_column,)))
+    for _ci, _side, views in groups:
+        for v in views:
+            combos.append(_flatten_combo_pos(v.columns))
+    v_count = len(combos)
+    k_cur = max((len(c[0]) for c in combos), default=0)
+    k_nxt = max((len(c[1]) for c in combos), default=0)
+    k_cst = max((len(c[2]) for c in combos), default=0)
+    idx_c = np.zeros((v_count, k_cur), dtype=np.int64)
+    cf_c = np.zeros((v_count, k_cur), dtype=np.uint64)
+    ps_c = np.zeros((v_count, k_cur), dtype=np.int64)
+    idx_n = np.zeros((v_count, k_nxt), dtype=np.int64)
+    cf_n = np.zeros((v_count, k_nxt), dtype=np.uint64)
+    ps_n = np.zeros((v_count, k_nxt), dtype=np.int64)
+    cf_k = np.zeros((v_count, k_cst), dtype=np.uint64)
+    ps_k = np.zeros((v_count, k_cst), dtype=np.int64)
+    max_pos = 0
+    for i, (cur, nxt_t, consts) in enumerate(combos):
+        for j, (col_i, k, p) in enumerate(cur):
+            idx_c[i, j], cf_c[i, j], ps_c[i, j] = col_i, k, p
+            max_pos = max(max_pos, p)
+        for j, (col_i, k, p) in enumerate(nxt_t):
+            idx_n[i, j], cf_n[i, j], ps_n[i, j] = col_i, k, p
+            max_pos = max(max_pos, p)
+        for j, (k, p) in enumerate(consts):
+            cf_k[i, j], ps_k[i, j] = k, p
+            max_pos = max(max_pos, p)
+    return (idx_c, cf_c, ps_c, idx_n, cf_n, ps_n, cf_k, ps_k, max_pos,
+            v_count)
+
+
+def _batch_combined_pos(trace_gf, nxt_gf, plan, beta, gamma):
+    """beta + gamma-weighted combination rows for every view in `plan`,
+    with beta/gamma as TRACED GF scalars — one compiled program serves
+    every challenge."""
+    import jax.numpy as jnp
+    (idx_c, cf_c, ps_c, idx_n, cf_n, ps_n, cf_k, ps_k, max_pos,
+     v_count) = plan
+    m = trace_gf.shape[-1]
+    gps = [GF.from_u64(np.uint64(1))]
+    for _ in range(max_pos):
+        gps.append(gps[-1] * gamma)
+    gp = GF.stack(gps, axis=0)
+    acc = beta.reshape(1, 1).broadcast_to((v_count, m))
+    for k in range(cf_k.shape[1]):
+        w = GF.from_u64(cf_k[:, k]) * gp.take(
+            jnp.asarray(ps_k[:, k]), axis=0)
+        acc = acc + w.reshape(v_count, 1)
+    for k in range(cf_c.shape[1]):
+        w = GF.from_u64(cf_c[:, k]) * gp.take(
+            jnp.asarray(ps_c[:, k]), axis=0)
+        rows = trace_gf.take(jnp.asarray(idx_c[:, k]), axis=0)
+        acc = acc + rows * w.reshape(v_count, 1)
+    for k in range(cf_n.shape[1]):
+        w = GF.from_u64(cf_n[:, k]) * gp.take(
+            jnp.asarray(ps_n[:, k]), axis=0)
+        rows = nxt_gf.take(jnp.asarray(idx_n[:, k]), axis=0)
+        acc = acc + rows * w.reshape(v_count, 1)
+    return acc
+
+
+def _make_aux_fn(lookups, groups):
+    """Compile-once aux-trace builder for one table's lookup/CTL plan.
+    The returned jitted fn(trace_gf, nxt_gf, beta, gamma) computes all
+    helper columns + running sums for ONE challenge pair in a single
+    device program (the unjitted form issued hundreds of dispatches —
+    at the axon tunnel's ~25 ms floor that was minutes per table)."""
+    ids_cursor = 0
+    lk_plan = []
+    for lk in lookups:
+        ids = list(range(ids_cursor, ids_cursor + len(lk.looking_columns)))
+        ids_cursor += len(lk.looking_columns)
+        tid = ids_cursor
+        ids_cursor += 1
+        lk_plan.append((lk, ids, tid))
+    grp_plan = []
+    for _ci, _side, views in groups:
+        vids = list(range(ids_cursor, ids_cursor + len(views)))
+        ids_cursor += len(views)
+        grp_plan.append((views, vids))
+    plan = _combo_plan(lookups, groups)
+
+    @jax.jit
+    def fn(trace_gf, nxt_gf, beta, gamma):
+        inv_rows = _batch_combined_pos(trace_gf, nxt_gf, plan,
+                                       beta, gamma).inv()
 
         def term(idx, filt):
             h = inv_rows[idx]
-            f = filt.eval(cols) if filt is not None else None
+            f = filt.eval(trace_gf) if filt is not None else None
             return h if f is None else h * f
 
-        entries = []   # (columns_for_this_item, delta, is_lookup)
+        out: list[GF] = []
+        entries = []
         for lk, ids, tid in lk_plan:
             filts = list(lk.filters) if lk.filters \
                 else [None] * len(ids)
             helpers = []
             delta = None
             for i in range(0, len(ids) - 1, 2):
-                h = term(ids[i], filts[i]) + term(ids[i + 1], filts[i + 1])
+                h = term(ids[i], filts[i]) + term(ids[i + 1],
+                                                  filts[i + 1])
                 helpers.append(h)
                 delta = h if delta is None else delta + h
             if len(ids) % 2 == 1:
                 h = term(ids[-1], filts[-1])
                 helpers.append(h)
                 delta = h if delta is None else delta + h
-            ht = cols[lk.frequencies_column] * inv_rows[tid]
+            ht = trace_gf[lk.frequencies_column] * inv_rows[tid]
             helpers.append(ht)
             delta = delta - ht
             entries.append((helpers, delta))
@@ -377,14 +458,49 @@ def generate_aux_trace(trace_gf: GF, lookups: list[Lookup],
                 delta = h if delta is None else delta + h
             entries.append((helpers, delta))
 
-        if entries:
-            zs = _gf_suffix_sum(GF.stack([d for _h, d in entries], axis=0))
-            for i, (helpers, _d) in enumerate(entries):
-                out.extend(helpers)
-                out.append(zs[i])
-    if not out:
+        zs = _gf_suffix_sum(GF.stack([d for _h, d in entries], axis=0))
+        for i, (helpers, _d) in enumerate(entries):
+            out.extend(helpers)
+            out.append(zs[i])
+        return GF.stack(out, axis=0)
+
+    return fn
+
+
+def generate_aux_trace(trace_gf: GF, lookups: list[Lookup],
+                       groups, challenges: ChallengeSet) -> GF | None:
+    """Build all aux columns for one table. trace_gf: (cols, n); `groups`
+    from ctl_groups_for_table. Returns (num_aux, n) GF or None.
+
+    One jitted program per (plan, shape) computes every helper column +
+    running sum for a challenge pair; the challenges enter as traced
+    scalars, so the program is reused across proofs (and the whole aux
+    generation is 2 dispatches, not hundreds)."""
+    has_items = bool(lookups) or any(views for _c, _s, views in groups)
+    if not has_items:
         return None
-    return GF.stack(out, axis=0)
+    uses_next = any(
+        _coerce_expr(e).uses_next()
+        for lk in lookups for e in list(lk.looking_columns)
+        + [lk.table_column]) or any(
+        _coerce_expr(c).uses_next()
+        for _ci, _s, views in groups for v in views for c in v.columns)
+    nxt_gf = trace_gf.roll(-1, axis=-1) if uses_next else trace_gf
+
+    sig = (tuple(repr(lk) for lk in lookups),
+           tuple((ci, s, tuple(repr(v) for v in views))
+                 for ci, s, views in groups))
+    fn = _AUX_FN_CACHE.get(sig)
+    if fn is None:
+        fn = _make_aux_fn(lookups, groups)
+        _AUX_FN_CACHE[sig] = fn
+
+    out: list[GF] = []
+    for beta, gamma in challenges.pairs:
+        b = GF.from_u64(np.uint64(beta))
+        g = GF.from_u64(np.uint64(gamma))
+        out.append(fn(trace_gf, nxt_gf, b, g))
+    return GF.concatenate(out, axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -400,6 +516,7 @@ def eval_aux_constraints(lookups: list[Lookup], groups,
     aux = frame.aux_local
     aux_next = frame.aux_next
     is_vec = isinstance(local, GF)
+    plan = _combo_plan(lookups, groups) if is_vec else None
     k = 0
     for beta, gamma in challenges.pairs:
         # Vector path: all beta+combined denominators of this challenge in
@@ -407,15 +524,11 @@ def eval_aux_constraints(lookups: list[Lookup], groups,
         drows = None
         dpos = [0]
         if is_vec:
-            combos = []
-            for lk in lookups:
-                for e in lk.looking_columns:
-                    combos.append(_flatten_combo((e,), 0))
-                combos.append(_flatten_combo((lk.table_column,), 0))
-            for _ci, _side, views in groups:
-                for v in views:
-                    combos.append(_flatten_combo(v.columns, gamma))
-            drows = _batch_combined(local, nxt, combos, beta)
+            b = GF.from_u64(np.uint64(beta)) if isinstance(beta, int) \
+                else beta
+            g = GF.from_u64(np.uint64(gamma)) if isinstance(gamma, int) \
+                else gamma
+            drows = _batch_combined_pos(local, nxt, plan, b, g)
 
         def next_denom(scalar_fn):
             if drows is not None:

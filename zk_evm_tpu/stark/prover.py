@@ -11,6 +11,7 @@ interpolation, FRI. Host does transcript sequencing only.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..field import GF, host
@@ -24,6 +25,77 @@ from . import domains, fri, lookup
 from ..timing import timed
 
 
+_QUOTIENT_FN_CACHE: dict = {}
+
+
+def _plan_sig(lookups, groups):
+    return (tuple(repr(lk) for lk in lookups),
+            tuple((ci, s, tuple(repr(v) for v in views))
+                  for ci, s, views in groups))
+
+
+def _make_quotient_fn(stark, lookups, groups, degree_bits: int,
+                      rate_bits: int, num_challenges: int,
+                      public_inputs: tuple, has_aux: bool):
+    """ONE jitted program evaluating the whole constraint composition
+    over the LDE coset, returning the scaled quotient VALUES (bitrev
+    order). Challenges, alphas, and the stark's per-proof scalars
+    (frame.params) enter traced, so the compiled program is reused
+    across segments and proofs; the unjitted form issued one tunnel
+    dispatch per constraint op (tens of thousands for the wide bitwise
+    tables).
+
+    The interpolation back to coefficients happens in a SEPARATE jitted
+    program (_coset_ifft_reshape): fusing the constraint graph into the
+    NTT's while-loop operand trips a catastrophic XLA:CPU codegen
+    pathology (a 64-row toy quotient ran >20 min; as its own program the
+    same graph executes in 8 ms). optimization_barrier does not help —
+    XLA:CPU strips it. One extra dispatch per proof is noise."""
+    log_m = degree_bits + rate_bits
+    m = 1 << log_m
+    perm = jnp.asarray(domains.next_row_perm_bitrev(log_m, rate_bits))
+    sel = domains.selector_tables_bitrev(degree_bits, rate_bits)
+    n_params = len(stark.proof_param_names)
+
+    @jax.jit
+    def fn(lde, aux_lde, alphas_gf, betas, gammas, params_gf):
+        next_lde = lde.take(perm, axis=-1)
+        aux_local, aux_next = [], []
+        if has_aux:
+            aux_local = aux_lde
+            aux_next = aux_lde.take(perm, axis=-1)
+        frame = StarkFrame(
+            local=lde, next_=next_lde,
+            aux_local=aux_local, aux_next=aux_next,
+            public_inputs=list(public_inputs),
+            params=tuple(params_gf[i] for i in range(n_params)))
+        cc = ConstraintConsumer(
+            alphas=[alphas_gf[i] for i in range(num_challenges)],
+            zero=GF.zeros((m,)),
+            z_last=GF.from_u64(sel["z_last"]),
+            lagrange_first=GF.from_u64(sel["l_first"]),
+            lagrange_last=GF.from_u64(sel["l_last"]))
+        stark.eval(frame, cc)
+        if lookups or groups:
+            chs = lookup.ChallengeSet(tuple(
+                (betas[i], gammas[i]) for i in range(num_challenges)))
+            lookup.eval_aux_constraints(lookups, groups, chs, frame, cc)
+        zh_inv = GF.from_u64(sel["zh_inv"])
+        return GF.stack([acc * zh_inv for acc in cc.accs], axis=0)
+
+    return fn
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _coset_ifft_reshape(q_vals: GF, degree_bits: int, rate_bits: int) -> GF:
+    coeffs = ntt.coset_ifft_from_bitrev(q_vals)          # (nc, m)
+    n = 1 << degree_bits
+    return coeffs.reshape(q_vals.shape[0] << rate_bits, n)
+
+
 def _quotient_chunks(stark: Stark, trace_batch: PolynomialBatch,
                      aux_batch: PolynomialBatch | None,
                      lookups, groups, challenges,
@@ -34,44 +106,33 @@ def _quotient_chunks(stark: Stark, trace_batch: PolynomialBatch,
     quotient chunk coefficients, shape (num_challenges << rate_bits, n)."""
     degree_bits = trace_batch.degree.bit_length() - 1
     rate_bits = config.rate_bits
-    log_m = degree_bits + rate_bits
-    m = 1 << log_m
 
     lde = trace_batch.lde                       # (cols, m) bitrev
     if pre_batch is not None:
         # preprocessed (program) columns occupy the low indices
         lde = GF.concatenate([pre_batch.lde, lde], axis=0)
-    perm = jnp.asarray(domains.next_row_perm_bitrev(log_m, rate_bits))
-    next_lde = lde.take(perm, axis=-1)
-    sel = domains.selector_tables_bitrev(degree_bits, rate_bits)
+    has_aux = aux_batch is not None
+    key = (stark.jit_key(), _plan_sig(lookups, groups), degree_bits,
+           rate_bits, len(alphas), tuple(public_inputs or ()), has_aux)
+    fn = _QUOTIENT_FN_CACHE.get(key)
+    if fn is None:
+        fn = _make_quotient_fn(stark, lookups, groups, degree_bits,
+                               rate_bits, len(alphas),
+                               tuple(public_inputs or ()), has_aux)
+        _QUOTIENT_FN_CACHE[key] = fn
 
-    aux_local, aux_next = [], []
-    if aux_batch is not None:
-        aux_local = aux_batch.lde
-        aux_next = aux_local.take(perm, axis=-1)
-
-    # local/next are whole GF matrices: lv[i] yields a column row-vector
-    # and lv[a:b] a (K, m) block (tables with uniform wide constraint
-    # families slice blocks and use cc.constraint_block).
-    frame = StarkFrame(
-        local=lde, next_=next_lde,
-        aux_local=aux_local, aux_next=aux_next,
-        public_inputs=public_inputs)
-    cc = ConstraintConsumer(
-        alphas=alphas,
-        zero=GF.zeros((m,)),
-        z_last=GF.from_u64(sel["z_last"]),
-        lagrange_first=GF.from_u64(sel["l_first"]),
-        lagrange_last=GF.from_u64(sel["l_last"]))
-    stark.eval(frame, cc)
-    if lookups or groups:
-        lookup.eval_aux_constraints(lookups, groups, challenges, frame, cc)
-
-    zh_inv = GF.from_u64(sel["zh_inv"])
-    q_vals = GF.stack([acc * zh_inv for acc in cc.accs], axis=0)
-    coeffs = ntt.coset_ifft_from_bitrev(q_vals)      # (nc, m)
-    n = 1 << degree_bits
-    return coeffs.reshape(len(alphas) << rate_bits, n)
+    params = stark.proof_params()
+    pairs = challenges.pairs if challenges is not None else ()
+    q_vals = fn(
+        lde,
+        aux_batch.lde if has_aux else GF.zeros((1, lde.shape[-1])),
+        GF.from_u64(np.array([a for a in alphas], dtype=np.uint64)),
+        GF.from_u64(np.array([b for b, _g in pairs] or [0],
+                             dtype=np.uint64)),
+        GF.from_u64(np.array([g for _b, g in pairs] or [0],
+                             dtype=np.uint64)),
+        GF.from_u64(np.array(list(params) or [0], dtype=np.uint64)))
+    return _coset_ifft_reshape(q_vals, degree_bits, rate_bits)
 
 
 def shard_rows(x: GF, mesh) -> GF:

@@ -15,14 +15,16 @@ class StarkFrame:
     the prover these are (m,)-shaped GF arrays; for the verifier HExt
     scalars), plus auxiliary (lookup/CTL) columns and public inputs."""
 
-    __slots__ = ("local", "next", "aux_local", "aux_next", "public_inputs")
+    __slots__ = ("local", "next", "aux_local", "aux_next",
+                 "public_inputs", "params")
 
     def __init__(self, local, next_, public_inputs=None,
-                 aux_local=None, aux_next=None):
+                 aux_local=None, aux_next=None, params=()):
         self.local = local
         self.next = next_
         self.aux_local = aux_local or []
         self.aux_next = aux_next or []
+        self.params = tuple(params)
         self.public_inputs = public_inputs or []
 
 
@@ -73,9 +75,16 @@ class ConstraintConsumer:
         k = cs.shape[0]
         new_accs = []
         for acc, alpha in zip(self.accs, self.alphas):
-            w = np_field.powers(alpha, k)[::-1].copy()
-            contrib = (cs * GF.from_u64(w.reshape(k, 1))).sum(axis=0)
-            ak = int(np_field.powers(alpha, k + 1)[k])
+            if isinstance(alpha, int):
+                w = np_field.powers(alpha, k)[::-1].copy()
+                wgf = GF.from_u64(w.reshape(k, 1))
+                ak = int(np_field.powers(alpha, k + 1)[k])
+            else:
+                # traced GF alpha (jitted quotient path): powers by
+                # device log-doubling so the graph stays O(log k)
+                wfwd, ak = _gf_powers(alpha, k)
+                wgf = wfwd[::-1].reshape(k, 1)
+            contrib = (cs * wgf).sum(axis=0)
             new_accs.append(acc * ak + contrib)
         self.accs = new_accs
 
@@ -85,6 +94,23 @@ class ConstraintConsumer:
                 self.constraint_transition(c)
             return
         self.constraint_block(cs * self.z_last)
+
+
+def _gf_powers(alpha, k: int):
+    """[alpha^0 .. alpha^(k-1)] as a (k,) GF array plus alpha^k, built by
+    log-doubling (O(log k) traced ops) from a GF scalar."""
+    from ..field import GF
+    import numpy as np
+    arr = GF.from_u64(np.uint64(1)).reshape(1)   # alpha^0..alpha^(len-1)
+    cur = alpha.reshape(1)                       # alpha^len(arr)
+    while arr.shape[0] < k:
+        take = min(arr.shape[0], k - arr.shape[0])
+        arr = GF.concatenate([arr, arr[:take] * cur], axis=0)
+        cur = cur * cur     # correct whenever the step doubled; the
+        # only step where it does not is the last, after which the loop
+        # exits and cur is unused
+    ak = arr[k - 1] * alpha
+    return arr, ak
 
 
 class Stark:
@@ -98,6 +124,24 @@ class Stark:
     # Lookup/CTL metadata filled in by subclasses (see tables/, ctl.py):
     def lookups(self):
         return []
+
+    # -- per-proof scalar parameters ---------------------------------------
+    # Values that vary per proof (e.g. the CPU table's segment-boundary
+    # pcs) enter constraint evaluation as TRACED scalars via
+    # frame.params, so one compiled quotient program serves every
+    # segment. Everything else on the instance is compile-time constant
+    # and participates in jit_key().
+    proof_param_names: tuple = ()
+
+    def proof_params(self) -> tuple:
+        return tuple(getattr(self, n) for n in self.proof_param_names)
+
+    def jit_key(self) -> tuple:
+        skip = set(self.proof_param_names) | {"_pre_cache"}
+        items = tuple(sorted(
+            (k, v) for k, v in vars(self).items()
+            if k not in skip and isinstance(v, (int, str, bool, tuple))))
+        return (type(self).__module__, type(self).__qualname__, items)
 
     def known_columns(self):
         """Columns whose values are fixed by data the verifier holds.

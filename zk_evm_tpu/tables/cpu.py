@@ -590,6 +590,8 @@ class CpuStark(Stark):
     `halt_final` label offsets (control_flow.rs:27-38)."""
     name = "cpu"
     num_columns = cc.NUM_CPU_COLUMNS
+    # segment-boundary pcs vary per proof -> traced (stark.py)
+    proof_param_names = ("start_pc", "halt_pc")
 
     def __init__(self, start_pc: int = 0, halt_pc: int = 0,
                  syscall_jumptable: int = 0,
@@ -602,6 +604,8 @@ class CpuStark(Stark):
     def eval(self, frame: StarkFrame, consumer: ConstraintConsumer):
         lv = frame.local
         nv = frame.next
+        start_pc, halt_pc = frame.params if frame.params \
+            else (self.start_pc, self.halt_pc)
         one = 1
 
         # ---- clock.rs ----
@@ -686,7 +690,7 @@ class CpuStark(Stark):
             consumer.constraint(halt * lv[ch.used])
         consumer.constraint_last_row(halt - one)
         consumer.constraint(halt * (lv[cc.PROGRAM_COUNTER]
-                                    - self.halt_pc))
+                                    - halt_pc))
 
         # control_flow.rs: native instructions advance pc by one and
         # keep the kernel flag
@@ -707,7 +711,7 @@ class CpuStark(Stark):
         # point, kernel mode, empty stack
         last_noncpu = (is_cpu - one) * is_cpu_next
         consumer.constraint_transition(last_noncpu
-                                       * (npc - self.start_pc))
+                                       * (npc - start_pc))
         consumer.constraint_transition(last_noncpu * (nkernel - one))
         consumer.constraint_transition(last_noncpu * nv[cc.STACK_LEN])
 
