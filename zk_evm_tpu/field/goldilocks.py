@@ -163,12 +163,59 @@ def reduce128(r0, r1, r2, r3):
     return _reduce_lt_2p(lo, hi)
 
 
+def reduce128_nc(r0, r1, r2, r3):
+    """reduce128 without the final canonicalization: result is < 2^64 and
+    congruent mod p, but may be in [p, 2^64). Safe to feed back into
+    mul/square (they accept any < 2^64 operands) — hot inner loops chain
+    these and canonicalize once at the end."""
+    t_lo, t_hi, borrow = _sub64(r0, r1, r3, jnp.zeros_like(r3))
+    t_lo2 = t_lo - borrow * EPSILON
+    b2 = (t_lo < borrow * EPSILON).astype(U32)
+    t_hi = t_hi - b2
+    t_lo = t_lo2
+    u_lo = jnp.zeros_like(r2) - r2
+    u_hi = r2 - (r2 != 0).astype(U32)
+    lo, hi, c = _add64(t_lo, t_hi, u_lo, u_hi)
+    lo, c2 = _addc(lo, c * EPSILON)
+    hi = hi + c2
+    return lo, hi
+
+
 def mul(alo, ahi, blo, bhi):
     return reduce128(*_mul_wide(alo, ahi, blo, bhi))
 
 
+def mul_nc(alo, ahi, blo, bhi):
+    """Multiply accepting/producing non-canonical (< 2^64) values."""
+    return reduce128_nc(*_mul_wide(alo, ahi, blo, bhi))
+
+
+def _square_wide(alo, ahi):
+    """64 -> 128 bit squaring: 3 mul32s instead of mul_wide's 4 (the cross
+    product appears twice, so it is computed once and doubled)."""
+    ll_lo, ll_hi = mul32(alo, alo)
+    lh_lo, lh_hi = mul32(alo, ahi)
+    hh_lo, hh_hi = mul32(ahi, ahi)
+    # 2*lh occupies bits 33..97: limbs (lh_lo<<1, lh_hi<<1 | lh_lo>>31,
+    # lh_hi>>31) at positions 2^32, 2^64, 2^96.
+    d0 = lh_lo << 1
+    d1 = (lh_hi << 1) | (lh_lo >> 31)
+    d2 = lh_hi >> 31
+    r0 = ll_lo
+    r1, c1 = _addc(ll_hi, d0)
+    r2, c2a = _addc(hh_lo, d1)
+    r2, c2b = _addc(r2, c1)
+    r3 = hh_hi + d2 + c2a + c2b
+    return r0, r1, r2, r3
+
+
 def square(alo, ahi):
-    return mul(alo, ahi, alo, ahi)
+    return reduce128(*_square_wide(alo, ahi))
+
+
+def square_nc(alo, ahi):
+    """Square accepting/producing non-canonical (< 2^64) values."""
+    return reduce128_nc(*_square_wide(alo, ahi))
 
 
 def mul_small(alo, ahi, k: int):

@@ -115,9 +115,9 @@ def permute(state: GF) -> GF:
     scanned jnp path below (one full-round body + one partial-round body,
     so compile time stays flat no matter how often permute is inlined)."""
     if (state.ndim == 2 and jax.default_backend() not in ("cpu",)):
-        from . import poseidon_pallas as ppal
-        if state.shape[0] % ppal.TILE == 0:
-            return ppal.permute_pallas(state)
+        from . import poseidon_dense as pdense
+        if state.shape[0] % pdense.TILE == 0:
+            return pdense.permute_dense(state)
     params = pp.default_params()
     rcs = _rc_gf()
     h = params.half_full_rounds
@@ -153,11 +153,11 @@ def hash_rows(matrix: GF) -> GF:
         pad = GF.zeros((n_rows, 4 - n_cols))
         return GF.concatenate([matrix, pad], axis=1)
     if jax.default_backend() not in ("cpu",):
-        from . import poseidon_pallas as ppal
-        if ppal.sponge_available(n_rows, n_cols):
-            # fused-sponge kernel: state stays in VMEM across all absorb
+        from . import poseidon_dense as pdense
+        if n_rows % pdense.TILE == 0:
+            # fused-sponge kernel: state registerized across all absorb
             # chunks; the .T here cancels with callers that pass lde.T
-            return ppal.sponge_pallas(matrix.T)
+            return pdense.sponge_dense(matrix.T)
     state = GF.zeros((n_rows, pp.WIDTH))
     n_full = n_cols // pp.RATE
     rem = n_cols % pp.RATE
