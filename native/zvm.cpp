@@ -823,6 +823,15 @@ void zvm_mem_set_range4(void* m, uint64_t ctx, uint64_t seg,
   }
 }
 
+// bulk byte reads (contract code / returndata exports): low byte of
+// each word, through the same get() (preinit materialization included)
+void zvm_mem_read_bytes(void* m, uint64_t ctx, uint64_t seg,
+                        uint64_t virt0, uint64_t n, uint8_t* out) {
+  ZvmMem* mm = (ZvmMem*)m;
+  for (uint64_t i = 0; i < n; i++)
+    out[i] = (uint8_t)mm->get(ctx, seg, virt0 + i).w[0];
+}
+
 // largest set virtual in (ctx, seg), or -1 if none
 int64_t zvm_mem_max_virt(void* m, uint64_t ctx, uint64_t seg) {
   ZvmMem* mm = (ZvmMem*)m;

@@ -414,7 +414,6 @@ def _make_aux_fn(lookups, groups):
         grp_plan.append((views, vids))
     plan = _combo_plan(lookups, groups)
 
-    @jax.jit
     def fn(trace_gf, nxt_gf, beta, gamma):
         inv_rows = _batch_combined_pos(trace_gf, nxt_gf, plan,
                                        beta, gamma).inv()
@@ -490,10 +489,18 @@ def generate_aux_trace(trace_gf: GF, lookups: list[Lookup],
     sig = (tuple(repr(lk) for lk in lookups),
            tuple((ci, s, tuple(repr(v) for v in views))
                  for ci, s, views in groups))
-    fn = _AUX_FN_CACHE.get(sig)
+    # Fused-jit on accelerators (2 dispatches instead of hundreds at
+    # the tunnel's ~25 ms floor); eager on the CPU backend, where XLA's
+    # compile of the fused graph is pathologically slow (same story as
+    # prover._use_jit_quotient) and eager dispatch is cheap.
+    from .prover import _use_jit_quotient
+    use_jit = _use_jit_quotient()
+    fn = _AUX_FN_CACHE.get((sig, use_jit))
     if fn is None:
         fn = _make_aux_fn(lookups, groups)
-        _AUX_FN_CACHE[sig] = fn
+        if use_jit:
+            fn = jax.jit(fn)
+        _AUX_FN_CACHE[(sig, use_jit)] = fn
 
     out: list[GF] = []
     for beta, gamma in challenges.pairs:

@@ -28,6 +28,10 @@ from ..stark import Stark, Filter, col
 NUM_ROUNDS = 24
 NUM_INPUTS = 25
 
+# permutations per trace-generation chunk: bounds the round-major build
+# cube to ~230 MB no matter how code-hash-heavy the block is
+TRACE_CHUNK = 512
+
 TIMESTAMP = NUM_ROUNDS
 START_A = TIMESTAMP + 1                      # 50: (x*5+y)*2 pairs lo/hi
 START_C = START_A + 50                       # 320: x*64+z
@@ -156,13 +160,32 @@ def generate_trace(inputs: list[tuple[list[int], int]],
     trace = np.zeros((NUM_COLUMNS, n), dtype=np.uint64)
     if not inputs:
         return trace
-    k = len(inputs)
-    state = np.array([l for l, _ in inputs],
-                     dtype=np.uint64).reshape(k, 5, 5)  # [i, y, x]
-    ts = np.array([t for _, t in inputs], dtype=np.uint64)
-    base = np.arange(k) * NUM_ROUNDS
+    all_state = np.array([l for l, _ in inputs],
+                         dtype=np.uint64).reshape(-1, 5, 5)  # [i, y, x]
+    all_ts = np.array([t for _, t in inputs], dtype=np.uint64)
+    # chunk the batch so the round-major cube stays cache/RAM friendly
+    # (at 2431 columns a 1024-perm cube is ~460 MB; code-hash-heavy
+    # mainnet blocks reach tens of thousands of permutations)
+    for c0 in range(0, len(inputs), TRACE_CHUNK):
+        _fill_chunk(trace, all_state[c0:c0 + TRACE_CHUNK],
+                    all_ts[c0:c0 + TRACE_CHUNK], c0 * NUM_ROUNDS)
+    return trace
+
+
+def _fill_chunk(trace, state, ts, row0):
+    k = state.shape[0]
+    state = state.copy()
     Z = np.arange(64, dtype=np.uint64)
     M32, S32, ONE = (np.uint64(0xFFFFFFFF), np.uint64(32), np.uint64(1))
+
+    # Rows for input i are the contiguous block i*24 .. i*24+23. Writing
+    # per-round vectors straight into that layout puts a 24-row stride
+    # inside every store (one cache line per element, ~640MB of traffic
+    # for a 10M-element table). Instead the cube is built round-major —
+    # (C, round, input), every per-round write contiguous over inputs —
+    # and transposed once at the end as per-column (24, k) tiles that fit
+    # in L2.
+    block = np.zeros((NUM_COLUMNS, NUM_ROUNDS, k), dtype=np.uint64)
 
     def rotl(v, nn):
         nn %= 64
@@ -171,30 +194,30 @@ def generate_trace(inputs: list[tuple[list[int], int]],
         return (v << np.uint64(nn)) | (v >> np.uint64(64 - nn))
 
     for r in range(NUM_ROUNDS):
-        idx = base + r
-        trace[reg_step(r), idx] = 1
-        trace[TIMESTAMP, idx] = ts
+        blk = block[:, r, :]
+        blk[reg_step(r)] = 1
+        blk[TIMESTAMP] = ts
         for x in range(5):
             for y in range(5):
                 a = state[:, y, x]
                 ra = reg_a(x, y)
-                trace[ra, idx] = a & M32
-                trace[ra + 1, idx] = a >> S32
+                blk[ra] = a & M32
+                blk[ra + 1] = a >> S32
         c = np.bitwise_xor.reduce(state, axis=1)      # [i, x]
         d = np.empty_like(c)
         for x in range(5):
             d[:, x] = c[:, (x + 4) % 5] ^ rotl(c[:, (x + 1) % 5], 1)
             cp = c[:, x] ^ d[:, x]
             rc0 = reg_c(x, 0)
-            trace[rc0:rc0 + 64, idx] = ((c[:, x, None] >> Z) & ONE).T
+            blk[rc0:rc0 + 64] = ((c[:, x, None] >> Z) & ONE).T
             rcp0 = reg_c_prime(x, 0)
-            trace[rcp0:rcp0 + 64, idx] = ((cp[:, None] >> Z) & ONE).T
+            blk[rcp0:rcp0 + 64] = ((cp[:, None] >> Z) & ONE).T
         ap = state ^ d[:, None, :]                    # [i, y, x]
-        for x in range(5):
-            for y in range(5):
-                rap0 = reg_a_prime(x, y, 0)
-                trace[rap0:rap0 + 64, idx] = \
-                    ((ap[:, y, x, None] >> Z) & ONE).T
+        # A' bits: one (k, 5y, 5x, 64z) shift -> transpose to the
+        # column layout x*320 + y*64 + z in a single strided write
+        bits = (ap[:, :, :, None] >> Z) & ONE          # [i, y, x, z]
+        blk[START_A_PRIME:START_A_PRIME + 1600] = \
+            bits.transpose(2, 1, 3, 0).reshape(1600, k)
         b = {}
         for x in range(5):
             for y in range(5):
@@ -206,16 +229,19 @@ def generate_trace(inputs: list[tuple[list[int], int]],
                                  & b[((x + 2) % 5, y)])
                 app[:, y, x] = v
                 rapp = reg_app(x, y)
-                trace[rapp, idx] = v & M32
-                trace[rapp + 1, idx] = v >> S32
-        trace[APP00_BITS:APP00_BITS + 64, idx] = \
+                blk[rapp] = v & M32
+                blk[rapp + 1] = v >> S32
+        blk[APP00_BITS:APP00_BITS + 64] = \
             ((app[:, 0, 0, None] >> Z) & ONE).T
         out00 = app[:, 0, 0] ^ np.uint64(RC[r])
-        trace[APPP00_LO, idx] = out00 & M32
-        trace[APPP00_HI, idx] = out00 >> S32
+        blk[APPP00_LO] = out00 & M32
+        blk[APPP00_HI] = out00 >> S32
         state = app
         state[:, 0, 0] = out00
-    return trace
+    rows = k * NUM_ROUNDS
+    np.copyto(trace[:, row0:row0 + rows].reshape(NUM_COLUMNS, k,
+                                                 NUM_ROUNDS),
+              block.transpose(0, 2, 1))
 
 
 def generate_trace_py(inputs: list[tuple[list[int], int]],

@@ -224,12 +224,39 @@ def _fill_gaps_arrays(a: MemOpsArrays) -> MemOpsArrays:
     d_limbs = np.where((b_cs | b_vd)[:, None],
                        np.zeros((1, VALUE_LIMBS), np.uint32),
                        a.limbs[:-1][rep])
-    dummies = MemOpsArrays(
-        np.zeros(tot, np.uint64), d_ts.astype(np.uint64),
-        d_ctx.astype(np.uint64), d_seg.astype(np.uint64),
-        d_virt.astype(np.uint64), np.ones(tot, np.uint64),
-        d_limbs.astype(np.uint32))
-    return _lexsorted(MemOpsArrays.concat([a, dummies]))
+
+    # Every dummy group sorts strictly inside its (row i, row i+1)
+    # interval — cs dummies carry row i+1's ctx/seg with virt < v1,
+    # vdiff/same dummies stay strictly between on virt/ts — so instead
+    # of re-lexsorting the concatenation (the old path: a full 4-key
+    # sort + gather), scatter rows straight to their merged positions.
+    # Within a group ascending sort order is ascending j, EXCEPT cs
+    # groups where virt = v1 - j*max_rc descends with j.
+    m_rep = m[rep]
+    rank = np.where(b_cs, m_rep - j, j - 1)
+    starts_rep = starts[rep]
+    dest_dummy = rep + 1 + starts_rep + rank
+    dest_orig = np.arange(n, dtype=np.int64)
+    dest_orig[1:] += np.cumsum(m)
+    out_n = n + tot
+
+    def merge(orig, dummy, dtype):
+        out = np.empty(out_n, dtype)
+        out[dest_orig] = orig
+        out[dest_dummy] = dummy
+        return out
+
+    limbs = np.empty((out_n, VALUE_LIMBS), np.uint32)
+    limbs[dest_orig] = a.limbs
+    limbs[dest_dummy] = d_limbs.astype(np.uint32)
+    return MemOpsArrays(
+        merge(a.filter, np.zeros(tot, np.uint64), np.uint64),
+        merge(a.ts, d_ts.astype(np.uint64), np.uint64),
+        merge(a.ctx, d_ctx.astype(np.uint64), np.uint64),
+        merge(a.seg, d_seg.astype(np.uint64), np.uint64),
+        merge(a.virt, d_virt.astype(np.uint64), np.uint64),
+        merge(a.is_read, np.ones(tot, np.uint64), np.uint64),
+        limbs)
 
 
 def generate_trace_arrays(ops: MemOpsArrays,

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import bisect
 from dataclasses import dataclass, replace
+from functools import lru_cache as _lru_cache
 
 from ..tables.segments import Segment, scaled, SEGMENT_SCALING_FACTOR
 from ..native import keccak256
@@ -92,6 +93,25 @@ class KernelPanic(Exception):
     pass
 
 
+@_lru_cache(maxsize=1 << 16)
+def _ff_op(p: int, op: str, x: int) -> int:
+    """Pure field oracle (prover_input.rs ff inverse/sqrt). Memoized:
+    the segment pre-run and its tracing re-run issue identical queries,
+    and the 381/512-bit modexps dominate oracle time."""
+    if op == "inverse":
+        return pow(x, p - 2, p)
+    if op == "sqrt":
+        assert (p + 1) % 4 == 0
+        return pow(x, (p + 1) // 4, p)
+    raise KernelPanic(f"ff op {op}")
+
+
+@_lru_cache(maxsize=4096)
+def _fp12_inverse_cached(f: tuple) -> list:
+    from .bn254 import fp12_inverse
+    return fp12_inverse(list(f))
+
+
 class MemoryState:
     """Sparse (context, segment, virtual) -> u256 store with
     preinitialized segment fallback (witness/memory.rs:157-260)."""
@@ -122,6 +142,11 @@ class MemoryState:
 
     def set(self, ctx, seg, virt, value):
         self.data.setdefault((ctx, seg), {})[virt] = value & U256_MASK
+
+    def set_bytes(self, ctx, seg, virt0, data: bytes):
+        d = self.data.setdefault((ctx, seg), {})
+        for i, b in enumerate(data):
+            d[virt0 + i] = b
 
     def read_bytes(self, ctx, seg, virt, n):
         return bytes(self.get(ctx, seg, virt + i) & 0xFF for i in range(n))
@@ -324,6 +349,8 @@ class Interpreter:
         self.bignum_modmul_result_limbs: list[int] = []
         self.trie_root_ptrs = {"state": 0, "txn": 0, "receipt": 0}
         self.jumpdest_table = None           # ctx -> [proof, addr, ...]
+        self.jumpdest_regen_log = None       # pre-run: [(key, table)]
+        self.jumpdest_regen_replay = None    # tracing run: deque of same
         self.access_lists_ptrs = {"accounts": SortedPtrs(),
                                   "storage": SortedPtrs()}
         self.state_ptrs = {"accounts": SortedPtrs(),
@@ -1101,12 +1128,7 @@ class Interpreter:
         op = path[2]
         x = self.peek(0)
         assert x < p, "ff input out of range"
-        if op == "inverse":
-            return pow(x, p - 2, p)
-        if op == "sqrt":
-            assert (p + 1) % 4 == 0
-            return pow(x, (p + 1) // 4, p)
-        raise KernelPanic(f"ff op {op}")
+        return _ff_op(p, op, x)
 
     def _pi_sf(self, path):
         """Special 512-bit field ops for BLS381 base-field limbs
@@ -1137,10 +1159,9 @@ class Interpreter:
         n = int(path[2].split("_")[1])
         ptr = self.peek(11 - n)
         ctx = self.registers.context
-        f = [self.memory.get(ctx, Segment.BnPairing, ptr + i)
-             for i in range(12)]
-        inv = fp12_inverse(f)
-        return inv[n]
+        f = tuple(self.memory.get(ctx, Segment.BnPairing, ptr + i)
+                  for i in range(12))
+        return _fp12_inverse_cached(f)[n]
 
     def _pi_rlp(self, path):
         if not self.rlp_prover_inputs:
@@ -1165,8 +1186,7 @@ class Interpreter:
         code = self.contract_code.get(codehash)
         if code is None:
             raise KernelPanic(f"code hash not found: {codehash.hex()}")
-        for i, b in enumerate(code):
-            self.memory.set(context, Segment.Code, i, b)
+        self.memory.set_bytes(context, Segment.Code, 0, bytes(code))
         return len(code)
 
     def _pi_bignum_modmul(self, path):
@@ -1266,7 +1286,23 @@ class Interpreter:
     def _generate_jumpdest_table(self):
         """Clone the state, re-run to terminate_common collecting user
         jumps, then compute proofs (interpreter.rs:73-109,
-        prover_input.rs set_jumpdest_analysis_inputs)."""
+        prover_input.rs set_jumpdest_analysis_inputs).
+
+        The segment pre-run records each generated table in
+        `jumpdest_regen_log` (keyed by the triggering state); the tracing
+        re-run of the same segment replays them from
+        `jumpdest_regen_replay` instead of re-simulating — the runs are
+        deterministic twins, and the simulation is the single most
+        expensive oracle at mainnet scale."""
+        key = (self.registers.context, self.next_txn_index,
+               self.registers.program_counter)
+        if self.jumpdest_regen_replay is not None \
+                and self.jumpdest_regen_replay:
+            rkey, table = self.jumpdest_regen_replay.popleft()
+            assert rkey == key, (
+                "jumpdest replay diverged from the pre-run", rkey, key)
+            self.jumpdest_table = {k: list(v) for k, v in table.items()}
+            return
         sim = self.soft_clone()
         sim.is_jumpdest_analysis = True
         sim.record_trace = False
@@ -1296,6 +1332,9 @@ class Interpreter:
             else:
                 table[ctx] = []
         self.jumpdest_table = table
+        if self.jumpdest_regen_log is not None:
+            self.jumpdest_regen_log.append(
+                (key, {k: list(v) for k, v in table.items()}))
 
     def capture_extra(self) -> dict:
         """Oracle/bookkeeping state a later segment resumes from (the
@@ -1369,6 +1408,8 @@ class Interpreter:
             list(self.bignum_modmul_result_limbs)
         sim.trie_root_ptrs = dict(self.trie_root_ptrs)
         sim.jumpdest_table = None
+        sim.jumpdest_regen_log = None
+        sim.jumpdest_regen_replay = None
         sim.access_lists_ptrs = {
             k: v.copy() for k, v in self.access_lists_ptrs.items()}
         sim.state_ptrs = {k: v.copy() for k, v in self.state_ptrs.items()}

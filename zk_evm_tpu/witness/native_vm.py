@@ -65,6 +65,7 @@ def _load():
     lib.zvm_mem_is_set.argtypes = [h, U64, U64, U64]
     lib.zvm_mem_set.argtypes = [h, U64, U64, U64, u64p]
     lib.zvm_mem_set_range.argtypes = [h, U64, U64, U64, u64p, U64]
+    lib.zvm_mem_read_bytes.argtypes = [h, U64, U64, U64, U64, u8p]
     lib.zvm_mem_set_range4.argtypes = [h, U64, U64, U64, u64p, U64]
     lib.zvm_mem_preinit.argtypes = [h, U64, u64p, U64]
     lib.zvm_mem_preinit_len.restype = U64
@@ -178,8 +179,17 @@ class NativeMemory:
                                      limbs, limbs.shape[0])
 
     def read_bytes(self, ctx, seg, virt, n):
-        return bytes(self.get(ctx, seg, virt + i) & 0xFF
-                     for i in range(n))
+        if n == 0:
+            return b""
+        out = np.empty(n, dtype=np.uint8)
+        self._lib.zvm_mem_read_bytes(self._h, ctx, int(seg), virt, n, out)
+        return out.tobytes()
+
+    def set_bytes(self, ctx, seg, virt0, data: bytes):
+        if not data:
+            return
+        self.set_range_u64(ctx, seg, virt0,
+                           np.frombuffer(data, np.uint8).astype(np.uint64))
 
     def insert_preinitialized_segment(self, seg, content):
         vals = list(content)

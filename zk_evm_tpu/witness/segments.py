@@ -90,8 +90,13 @@ class SegmentDataIterator:
 
         interp = self.interp
         interp.stale_contexts = []
+        # record jumpdest tables generated during this chunk so the
+        # tracing re-run replays them instead of re-simulating
+        interp.jumpdest_regen_log = []
         interp.run_segment(cur.registers_before,
                            cycle_limit=self._cycle_limit())
+        cur.extra["jumpdest_regen_log"] = interp.jumpdest_regen_log
+        interp.jumpdest_regen_log = None
         regs_after = interp.final_registers
         assert regs_after is not None, "segment did not reach exc_stop"
         cur.registers_after = replace(regs_after)
@@ -126,6 +131,10 @@ def run_segment_generation(kernel, inputs, segment: SegmentData,
     interp = Interpreter(kernel, kernel.global_labels["init"],
                          max_cycles=max_cycles)
     interp.initialize_from_inputs(inputs, segment=segment)
+    regen = segment.extra.get("jumpdest_regen_log")
+    if regen:
+        from collections import deque
+        interp.jumpdest_regen_replay = deque(regen)
     limit = None
     if segment.max_cpu_len_log is not None:
         limit = (1 << segment.max_cpu_len_log) - NUM_EXTRA_CYCLES_AFTER
