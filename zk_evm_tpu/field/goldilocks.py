@@ -210,7 +210,12 @@ def _square_wide(alo, ahi):
 
 
 def square(alo, ahi):
-    return reduce128(*_square_wide(alo, ahi))
+    # NOTE: deliberately mul-based, NOT _square_wide: square() appears in
+    # every quotient/constraint program, and keeping its HLO identical to
+    # round-3 builds preserves the warm XLA persistent-cache entries for
+    # all compiled prover programs (the 3-mul32 squaring pays off only
+    # inside the hand-written Pallas kernels, which call square_nc).
+    return mul(alo, ahi, alo, ahi)
 
 
 def square_nc(alo, ahi):

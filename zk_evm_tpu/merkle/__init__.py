@@ -2,4 +2,28 @@ from .tree import MerkleTree, build_tree
 from . import host as host_merkle
 from . import keccak_host as keccak_merkle
 
-__all__ = ["MerkleTree", "build_tree", "host_merkle", "keccak_merkle"]
+
+def build_commitment_tree(leaves, cap_height: int = 4,
+                          hasher: str = "poseidon"):
+    """Commitment-tree dispatch on StarkConfig.hasher: the Poseidon
+    device tree (the performance path — digests ride the chip), or the
+    Keccak host tree (the reference's KeccakGoldilocksConfig outer
+    hasher twin; tests/simple_transfer.rs:24,30)."""
+    if hasher == "keccak":
+        import numpy as np
+        from .keccak_tree import build_tree_keccak
+        return build_tree_keccak(np.asarray(leaves.to_u64()), cap_height)
+    assert hasher == "poseidon", hasher
+    return build_tree(leaves, cap_height=cap_height)
+
+
+def path_verifier(hasher: str = "poseidon"):
+    """The host verify_path for a hasher config."""
+    if hasher == "keccak":
+        return keccak_merkle.verify_path
+    assert hasher == "poseidon", hasher
+    return host_merkle.verify_path
+
+
+__all__ = ["MerkleTree", "build_tree", "build_commitment_tree",
+           "path_verifier", "host_merkle", "keccak_merkle"]

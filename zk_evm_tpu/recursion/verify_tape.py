@@ -153,6 +153,11 @@ def verify_stark_tape(t: Tape, stark: Stark, proof: StarkProof,
     here) and AllStark (caps/publics observed globally by the caller,
     shared `challenges`)."""
     from ..stark import lookup as lkp
+    # The verifier-AIR replays Merkle paths with in-tape Poseidon; the
+    # Keccak commitment config is outer-only (the reference recurses only
+    # over PoseidonGoldilocksConfig proofs for the same reason).
+    assert config.hasher == "poseidon", \
+        "recursion wraps Poseidon-committed proofs only"
     fri_cfg = config.fri_config
     degree_bits = proof.degree_bits
     n = 1 << degree_bits

@@ -38,6 +38,14 @@ class StarkConfig:
     security_bits: int = 100
     num_challenges: int = 2
     fri_config: FriConfig = field(default_factory=FriConfig)
+    # Merkle commitment hasher: "poseidon" (device path, recursion-
+    # friendly — the reference's PoseidonGoldilocksConfig) or "keccak"
+    # (the KeccakGoldilocksConfig outer-config twin used by the
+    # reference's integration tests, tests/simple_transfer.rs:24,30;
+    # EVM-side verifiers recompute keccak cheaply). The transcript
+    # challenger stays the Poseidon duplex in both — digests are 4 GF
+    # elements either way.
+    hasher: str = "poseidon"
 
     @property
     def rate_bits(self) -> int:

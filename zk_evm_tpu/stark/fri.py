@@ -23,7 +23,8 @@ import jax.numpy as jnp
 
 from ..field import GF, GFE, host, np_field
 from ..hash import poseidon
-from ..merkle import MerkleTree, build_tree, host_merkle
+from ..merkle import (MerkleTree, build_tree, build_commitment_tree,
+                      host_merkle, path_verifier)
 from ..challenger import Challenger
 from .config import FriConfig
 from .poly_batch import PolynomialBatch
@@ -154,7 +155,8 @@ def prove_fri(oracles: list[PolynomialBatch],
               alpha: tuple[int, int],
               degree_bits: int,
               challenger: Challenger,
-              config: FriConfig) -> FriProof:
+              config: FriConfig,
+              hasher: str = "poseidon") -> FriProof:
     """Produce a batched FRI opening proof for `batches` over `oracles`.
 
     Callers must have observed all opening values and drawn `alpha` from the
@@ -208,7 +210,7 @@ def prove_fri(oracles: list[PolynomialBatch],
         arity = 1 << ab
         leaves = _ext_leaves(cur, arity)
         cap_h = min(config.cap_height, cur_log_m - ab)
-        tree = build_tree(leaves, cap_height=cap_h)
+        tree = build_commitment_tree(leaves, cap_h, hasher)
         cap_ints = [[int(x) for x in row] for row in tree.cap_u64()]
         commit_trees.append(tree)
         commit_caps.append(cap_ints)
@@ -322,7 +324,8 @@ def verify_fri(oracle_caps: list[list[list[int]]],
                proof: FriProof,
                challenger: Challenger,
                config: FriConfig,
-               oracle_widths: list[int] | None = None) -> None:
+               oracle_widths: list[int] | None = None,
+               hasher: str = "poseidon") -> None:
     """Replay the transcript and check every query round. Raises
     AssertionError on any failure. `challenger` must be at the same
     transcript position the prover's was when entering prove_fri.
@@ -376,10 +379,11 @@ def verify_fri(oracle_caps: list[list[list[int]]],
                challenger.get_n_challenges(config.num_query_rounds)]
     assert len(proof.query_rounds) == len(indices)
 
+    vp = path_verifier(hasher)
     for idx, rnd in zip(indices, proof.query_rounds):
         _verify_query(idx, rnd, oracle_caps, batches, alpha, betas,
                       proof, log_m, arities, config,
-                      oracle_widths, init_path_len, step_shapes)
+                      oracle_widths, init_path_len, step_shapes, vp)
 
 
 def _bitrev_int(i: int, bits: int) -> int:
@@ -389,7 +393,8 @@ def _bitrev_int(i: int, bits: int) -> int:
 def _verify_query(idx: int, rnd: FriQueryRound,
                   oracle_caps, batches, alpha, betas,
                   proof: FriProof, log_m, arities, config,
-                  oracle_widths, init_path_len, step_shapes) -> None:
+                  oracle_widths, init_path_len, step_shapes,
+                  _verify_path=host_merkle.verify_path) -> None:
     # -- initial tree openings -------------------------------------------
     assert len(rnd.initial.leaves) == len(oracle_caps)
     assert len(rnd.initial.paths) == len(oracle_caps)
@@ -398,8 +403,8 @@ def _verify_query(idx: int, rnd: FriQueryRound,
                                       rnd.initial.paths,
                                       oracle_caps, oracle_widths):
         assert len(leaf) == width, "initial oracle leaf width mismatch"
-        assert host_merkle.verify_path(leaf, idx, path, cap,
-                                       path_len=init_path_len), \
+        assert _verify_path(leaf, idx, path, cap,
+                            path_len=init_path_len), \
             "initial oracle Merkle check failed"
 
     # -- reconstruct G(x) from the opened oracle values -------------------
@@ -434,8 +439,8 @@ def _verify_query(idx: int, rnd: FriQueryRound,
         assert tuple(step.coset_values[slot]) == tuple(eval_cur), \
             "fold chain value mismatch"
         leaf_flat = [v for pair in step.coset_values for v in pair]
-        assert host_merkle.verify_path(leaf_flat, coset_idx, step.path,
-                                       cap, path_len=step_path_len), \
+        assert _verify_path(leaf_flat, coset_idx, step.path,
+                            cap, path_len=step_path_len), \
             "commit-phase Merkle failed"
         # iterated pairwise fold of the coset, tracking x per position
         gk = host.primitive_root_of_unity(cur_log_m)

@@ -109,7 +109,8 @@ def prove_all(starks: list[Stark], traces: list[np.ndarray | None],
                     return i, PolynomialBatch.from_values(
                         GF.from_u64(trace[npre:]),
                         rate_bits=config.rate_bits,
-                        cap_height=config.cap_height)
+                        cap_height=config.cap_height,
+                        hasher=config.hasher)
 
         with ThreadPoolExecutor(max_workers=len(starks)) as pool:
             results = dict(pool.map(commit, enumerate(traces)))
@@ -131,7 +132,7 @@ def prove_all(starks: list[Stark], traces: list[np.ndarray | None],
                     tr = shard_rows(tr, mesh)
                 b = PolynomialBatch.from_values(
                     tr, rate_bits=config.rate_bits,
-                    cap_height=config.cap_height)
+                    cap_height=config.cap_height, hasher=config.hasher)
             batches.append(b)
             caps.append(b.cap_ints())
     observe_global(challenger, caps, public_inputs)

@@ -16,7 +16,7 @@ import jax
 
 from ..field import GF, host
 from .. import ntt
-from ..merkle import MerkleTree, build_tree
+from ..merkle import MerkleTree, build_commitment_tree
 
 
 @jax.jit
@@ -57,21 +57,21 @@ class PolynomialBatch:
 
     @classmethod
     def from_values(cls, values: GF,
-                    rate_bits: int = 1, cap_height: int = 4
-                    ) -> "PolynomialBatch":
+                    rate_bits: int = 1, cap_height: int = 4,
+                    hasher: str = "poseidon") -> "PolynomialBatch":
         coeffs = _ifft_coeffs(values)
         lde = _lde_jit(values, rate_bits)
         leaves = lde.T  # (lde_size, num_polys): row i = all polys at point i
-        tree = build_tree(leaves, cap_height=cap_height)
+        tree = build_commitment_tree(leaves, cap_height, hasher)
         return cls(values, coeffs, lde, tree, rate_bits)
 
     @classmethod
     def from_coeffs(cls, coeffs: GF,
-                    rate_bits: int = 1, cap_height: int = 4
-                    ) -> "PolynomialBatch":
+                    rate_bits: int = 1, cap_height: int = 4,
+                    hasher: str = "poseidon") -> "PolynomialBatch":
         """Commit polynomials given in coefficient form (quotient chunks)."""
         lde = ntt.lde_from_coeffs_bitrev(coeffs, rate_bits=rate_bits)
-        tree = build_tree(lde.T, cap_height=cap_height)
+        tree = build_commitment_tree(lde.T, cap_height, hasher)
         return cls(None, coeffs, lde, tree, rate_bits)
 
     def open_at(self, zs: list[tuple[int, int]]) -> np.ndarray:
@@ -88,7 +88,10 @@ class PolynomialBatch:
 
     def leaf_ints(self, index: int) -> list[int]:
         """All poly values at LDE position `index` (bit-reversed order)."""
-        return [int(x) for x in self.tree.leaves[index].to_u64()]
+        row = self.tree.leaves[index]
+        if hasattr(row, "to_u64"):
+            row = row.to_u64()
+        return [int(x) for x in row]
 
 
 @jax.jit

@@ -28,6 +28,20 @@ from ..timing import timed
 _QUOTIENT_FN_CACHE: dict = {}
 
 
+def _use_jit_quotient() -> bool:
+    """Fused-jit the quotient program on real accelerators (one dispatch
+    instead of thousands through the tunnel); run eagerly on the CPU
+    backend, where XLA's compile of the fused constraint graph is
+    pathologically slow (>25 min for a tiny Logic table) and eager
+    dispatch is cheap. ZK_JIT_QUOTIENT=0/1 overrides."""
+    import os
+    env = os.environ.get("ZK_JIT_QUOTIENT")
+    if env is not None:
+        return env not in ("0", "false")
+    import jax
+    return jax.default_backend() != "cpu"
+
+
 def _plan_sig(lookups, groups):
     return (tuple(repr(lk) for lk in lookups),
             tuple((ci, s, tuple(repr(v) for v in views))
@@ -36,7 +50,8 @@ def _plan_sig(lookups, groups):
 
 def _make_quotient_fn(stark, lookups, groups, degree_bits: int,
                       rate_bits: int, num_challenges: int,
-                      public_inputs: tuple, has_aux: bool):
+                      public_inputs: tuple, has_aux: bool,
+                      jit: bool = True):
     """ONE jitted program evaluating the whole constraint composition
     over the LDE coset, returning the scaled quotient VALUES (bitrev
     order). Challenges, alphas, and the stark's per-proof scalars
@@ -50,14 +65,19 @@ def _make_quotient_fn(stark, lookups, groups, degree_bits: int,
     NTT's while-loop operand trips a catastrophic XLA:CPU codegen
     pathology (a 64-row toy quotient ran >20 min; as its own program the
     same graph executes in 8 ms). optimization_barrier does not help —
-    XLA:CPU strips it. One extra dispatch per proof is noise."""
+    XLA:CPU strips it. One extra dispatch per proof is noise.
+
+    `jit=False` returns the same function un-jitted: XLA:CPU's compile
+    of the fused constraint graph is itself pathological (a tiny Logic
+    quotient compiles for >25 min on the CPU backend), so the CPU
+    backend — tests, dryruns, tunnel-down fallback — runs eagerly, where
+    per-op dispatch is cheap. Results are bit-identical either way."""
     log_m = degree_bits + rate_bits
     m = 1 << log_m
     perm = jnp.asarray(domains.next_row_perm_bitrev(log_m, rate_bits))
     sel = domains.selector_tables_bitrev(degree_bits, rate_bits)
     n_params = len(stark.proof_param_names)
 
-    @jax.jit
     def fn(lde, aux_lde, alphas_gf, betas, gammas, params_gf):
         next_lde = lde.take(perm, axis=-1)
         aux_local, aux_next = [], []
@@ -83,7 +103,54 @@ def _make_quotient_fn(stark, lookups, groups, degree_bits: int,
         zh_inv = GF.from_u64(sel["zh_inv"])
         return GF.stack([acc * zh_inv for acc in cc.accs], axis=0)
 
+    return jax.jit(fn) if jit else fn
+
+
+def _quotient_window_log() -> int:
+    import os
+    return int(os.environ.get("ZK_QUOTIENT_WINDOW_LOG", "16"))
+
+
+def _make_windowed_quotient_fn(stark, lookups, groups,
+                               num_challenges: int,
+                               public_inputs: tuple, has_aux: bool):
+    """Shape-parameterized constraint composition over ONE window of the
+    LDE coset. Everything degree-dependent — the next-row view and the
+    selector tables (z_last, lagrange first/last, Z_H^-1) — enters as
+    traced window arguments, so a single compiled program per stark
+    serves EVERY window, degree bucket, and segment. This both bounds
+    the compile-helper footprint (a full-degree fused program for the
+    2^18-row Memory quotient gets its compile subprocess SIGKILLed) and
+    removes per-bucket quotient recompiles entirely."""
+    n_params = len(stark.proof_param_names)
+
+    @jax.jit
+    def fn(lde_w, next_w, aux_w, aux_next_w, zl_w, lf_w, ll_w, zhinv_w,
+           alphas_gf, betas, gammas, params_gf):
+        w = lde_w.shape[-1]
+        frame = StarkFrame(
+            local=lde_w, next_=next_w,
+            aux_local=aux_w if has_aux else [],
+            aux_next=aux_next_w if has_aux else [],
+            public_inputs=list(public_inputs),
+            params=tuple(params_gf[i] for i in range(n_params)))
+        cc = ConstraintConsumer(
+            alphas=[alphas_gf[i] for i in range(num_challenges)],
+            zero=GF.zeros((w,)),
+            z_last=zl_w, lagrange_first=lf_w, lagrange_last=ll_w)
+        stark.eval(frame, cc)
+        if lookups or groups:
+            chs = lookup.ChallengeSet(tuple(
+                (betas[i], gammas[i]) for i in range(num_challenges)))
+            lookup.eval_aux_constraints(lookups, groups, chs, frame, cc)
+        return GF.stack([acc * zhinv_w for acc in cc.accs], axis=0)
+
     return fn
+
+
+@jax.jit
+def _take_perm(x: GF, perm) -> GF:
+    return x.take(perm, axis=-1)
 
 
 from functools import partial
@@ -112,26 +179,63 @@ def _quotient_chunks(stark: Stark, trace_batch: PolynomialBatch,
         # preprocessed (program) columns occupy the low indices
         lde = GF.concatenate([pre_batch.lde, lde], axis=0)
     has_aux = aux_batch is not None
+    use_jit = _use_jit_quotient()
+    params = stark.proof_params()
+    pairs = challenges.pairs if challenges is not None else ()
+    alphas_gf = GF.from_u64(np.array(list(alphas), dtype=np.uint64))
+    betas_gf = GF.from_u64(np.array([b for b, _g in pairs] or [0],
+                                    dtype=np.uint64))
+    gammas_gf = GF.from_u64(np.array([g for _b, g in pairs] or [0],
+                                     dtype=np.uint64))
+    params_gf = GF.from_u64(np.array(list(params) or [0], dtype=np.uint64))
+
+    if use_jit:
+        key = ("win", stark.jit_key(), _plan_sig(lookups, groups),
+               len(alphas), tuple(public_inputs or ()), has_aux)
+        fn = _QUOTIENT_FN_CACHE.get(key)
+        if fn is None:
+            fn = _make_windowed_quotient_fn(
+                stark, lookups, groups, len(alphas),
+                tuple(public_inputs or ()), has_aux)
+            _QUOTIENT_FN_CACHE[key] = fn
+        log_m = degree_bits + rate_bits
+        m = 1 << log_m
+        w = min(m, 1 << _quotient_window_log())
+        perm = jnp.asarray(domains.next_row_perm_bitrev(log_m, rate_bits))
+        sel = domains.selector_tables_bitrev(degree_bits, rate_bits)
+        next_lde = _take_perm(lde, perm)
+        aux_lde = aux_batch.lde if has_aux else GF.zeros((1, m))
+        aux_next = _take_perm(aux_lde, perm) if has_aux else aux_lde
+        zl = GF.from_u64(sel["z_last"])
+        lf = GF.from_u64(sel["l_first"])
+        ll = GF.from_u64(sel["l_last"])
+        zhi = GF.from_u64(sel["zh_inv"])
+        parts = []
+        for off in range(0, m, w):
+            sl = slice(off, off + w)
+            parts.append(fn(
+                lde[:, sl], next_lde[:, sl], aux_lde[:, sl],
+                aux_next[:, sl], zl[sl], lf[sl], ll[sl], zhi[sl],
+                alphas_gf, betas_gf, gammas_gf, params_gf))
+        q_vals = parts[0] if len(parts) == 1 \
+            else GF.concatenate(parts, axis=-1)
+        return _coset_ifft_reshape(q_vals, degree_bits, rate_bits)
+
     key = (stark.jit_key(), _plan_sig(lookups, groups), degree_bits,
-           rate_bits, len(alphas), tuple(public_inputs or ()), has_aux)
+           rate_bits, len(alphas), tuple(public_inputs or ()), has_aux,
+           use_jit)
     fn = _QUOTIENT_FN_CACHE.get(key)
     if fn is None:
         fn = _make_quotient_fn(stark, lookups, groups, degree_bits,
                                rate_bits, len(alphas),
-                               tuple(public_inputs or ()), has_aux)
+                               tuple(public_inputs or ()), has_aux,
+                               jit=use_jit)
         _QUOTIENT_FN_CACHE[key] = fn
 
-    params = stark.proof_params()
-    pairs = challenges.pairs if challenges is not None else ()
     q_vals = fn(
         lde,
         aux_batch.lde if has_aux else GF.zeros((1, lde.shape[-1])),
-        GF.from_u64(np.array([a for a in alphas], dtype=np.uint64)),
-        GF.from_u64(np.array([b for b, _g in pairs] or [0],
-                             dtype=np.uint64)),
-        GF.from_u64(np.array([g for _b, g in pairs] or [0],
-                             dtype=np.uint64)),
-        GF.from_u64(np.array(list(params) or [0], dtype=np.uint64)))
+        alphas_gf, betas_gf, gammas_gf, params_gf)
     return _coset_ifft_reshape(q_vals, degree_bits, rate_bits)
 
 
@@ -183,7 +287,7 @@ def prove_stark(stark: Stark, trace: np.ndarray, config: StarkConfig,
             trace_batch = PolynomialBatch.from_values(
                 trace_gf[npre:] if npre else trace_gf,
                 rate_bits=config.rate_bits,
-                cap_height=config.cap_height)
+                cap_height=config.cap_height, hasher=config.hasher)
     trace_cap = trace_batch.cap_ints()
 
     init_state = challenger.compact()
@@ -212,7 +316,7 @@ def prove_stark(stark: Stark, trace: np.ndarray, config: StarkConfig,
         with timed("commit aux"):
             aux_batch = PolynomialBatch.from_values(
                 aux_gf, rate_bits=config.rate_bits,
-                cap_height=config.cap_height)
+                cap_height=config.cap_height, hasher=config.hasher)
             aux_cap = aux_batch.cap_ints()
         challenger.observe_cap(aux_cap)
 
@@ -225,7 +329,7 @@ def prove_stark(stark: Stark, trace: np.ndarray, config: StarkConfig,
     with timed("commit quotient"):
         quotient_batch = PolynomialBatch.from_coeffs(
             chunks, rate_bits=config.rate_bits,
-            cap_height=config.cap_height)
+            cap_height=config.cap_height, hasher=config.hasher)
         quotient_cap = quotient_batch.cap_ints()
     challenger.observe_cap(quotient_cap)
 
@@ -298,7 +402,8 @@ def prove_stark(stark: Stark, trace: np.ndarray, config: StarkConfig,
             values=[(v, 0) for v in openings.ctl_zs_first]))
     with timed("FRI"):
         fri_proof = fri.prove_fri(oracles, batches, alpha, degree_bits,
-                                  challenger, fri_cfg)
+                                  challenger, fri_cfg,
+                                  hasher=config.hasher)
 
     return StarkProof(degree_bits=degree_bits, trace_cap=trace_cap,
                       aux_cap=aux_cap, quotient_cap=quotient_cap,

@@ -168,7 +168,8 @@ class Stark:
         pre = self.preprocessed()
         if pre is None:
             return None
-        key = ("_pre_batch", config.rate_bits, config.cap_height)
+        key = ("_pre_batch", config.rate_bits, config.cap_height,
+               config.hasher)
         cached = getattr(self, "_pre_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]
@@ -176,7 +177,7 @@ class Stark:
         from .poly_batch import PolynomialBatch
         batch = PolynomialBatch.from_values(
             GF.from_u64(pre), rate_bits=config.rate_bits,
-            cap_height=config.cap_height)
+            cap_height=config.cap_height, hasher=config.hasher)
         self._pre_cache = (key, batch)
         return batch
 

@@ -166,4 +166,4 @@ def verify_stark(stark: Stark, proof: StarkProof, config: StarkConfig,
             values=[(v, 0) for v in ops.ctl_zs_first]))
     fri.verify_fri(oracle_caps, batches, alpha, degree_bits,
                    proof.fri_proof, challenger, fri_cfg,
-                   oracle_widths=oracle_widths)
+                   oracle_widths=oracle_widths, hasher=config.hasher)
