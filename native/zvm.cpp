@@ -45,16 +45,92 @@ static inline u128 mem_key(uint64_t ctx, uint64_t seg, uint64_t virt) {
   return ((u128)ctx << 64) | (seg << 32) | virt;
 }
 
+// One (ctx, seg)'s cells: a dense value array with a written-bitmask
+// (virt < v.size()) plus a sparse overflow map for far-out virts.
+// Semantics are identical to the old flat u128->U256 map — a cell
+// "exists" iff it was explicitly written (or preinit-materialized);
+// holes inside the dense range stay non-existent via the bitmask, so
+// snapshots/MemBefore exports see exactly the live cells. Invariant:
+// every ovf virt >= v.size() (growth migrates lower ovf entries in).
+struct SegArr {
+  std::vector<U256> v;
+  std::vector<uint64_t> bits;   // written bitmask, ceil(v.size()/64)
+  std::unordered_map<uint64_t, U256> ovf;
+  uint64_t maxv = 0;
+  uint64_t count = 0;           // number of written cells
+
+  bool dense_set(uint64_t virt) const {
+    return virt < v.size() && (bits[virt >> 6] >> (virt & 63)) & 1;
+  }
+  // grow the dense range when the write lands near it; wild virts go
+  // to the overflow map so one far write can't balloon memory
+  bool should_grow(uint64_t virt) const {
+    return virt < (v.size() << 1) + 4096 && virt < (1ULL << 26);
+  }
+  void grow_to(uint64_t n) {
+    v.resize(n, U256{{0, 0, 0, 0}});
+    bits.resize((n + 63) >> 6, 0);
+    if (!ovf.empty()) {
+      for (auto it = ovf.begin(); it != ovf.end();) {
+        if (it->first < n) {
+          v[it->first] = it->second;
+          bits[it->first >> 6] |= 1ULL << (it->first & 63);
+          it = ovf.erase(it);
+        } else {
+          ++it;
+        }
+      }
+    }
+  }
+  void put(uint64_t virt, const U256& val) {
+    if (virt < v.size()) {
+      uint64_t& w = bits[virt >> 6];
+      if (!((w >> (virt & 63)) & 1)) {
+        w |= 1ULL << (virt & 63);
+        count++;
+      }
+      v[virt] = val;
+    } else if (should_grow(virt)) {
+      grow_to(virt + 1);
+      bits[virt >> 6] |= 1ULL << (virt & 63);
+      count++;
+      v[virt] = val;
+    } else {
+      count += ovf.insert_or_assign(virt, val).second;
+    }
+    if (count == 1 || virt > maxv) maxv = virt;
+  }
+  const U256* find(uint64_t virt) const {
+    if (virt < v.size())
+      return dense_set(virt) ? &v[virt] : nullptr;
+    auto it = ovf.find(virt);
+    return it == ovf.end() ? nullptr : &it->second;
+  }
+  // written virts in ascending order
+  void keys(std::vector<uint64_t>& out) const {
+    for (size_t w = 0; w < bits.size(); w++) {
+      uint64_t m = bits[w];
+      while (m) {
+        out.push_back((w << 6) + __builtin_ctzll(m));
+        m &= m - 1;
+      }
+    }
+    size_t dense_n = out.size();
+    for (auto& kv : ovf) out.push_back(kv.first);
+    std::sort(out.begin() + dense_n, out.end());
+  }
+};
+
 struct ZvmMem {
-  std::unordered_map<u128, U256, KeyHash> data;
+  std::unordered_map<u128, SegArr, KeyHash> segs;  // key (ctx, seg, 0)
   std::unordered_map<uint32_t, std::vector<U256>> preinit;
-  // largest set virtual per (ctx, seg) — the trie_data_size oracle's
-  // max-key query without a full-map scan
-  std::unordered_map<u128, uint64_t, KeyHash> maxvirt;
 
   U256 get(uint64_t ctx, uint64_t seg, uint64_t virt) {
-    auto it = data.find(mem_key(ctx, seg, virt));
-    if (it != data.end()) return it->second;
+    auto it = segs.find(mem_key(ctx, seg, 0));
+    if (it != segs.end()) {
+      const U256* p = it->second.find(virt);
+      if (p) return *p;
+    }
     auto p = preinit.find((uint32_t)seg);
     if (p != preinit.end() && virt < p->second.size()) {
       // materialize the fallback hit (MemoryState.get semantics)
@@ -66,10 +142,18 @@ struct ZvmMem {
   }
 
   void set(uint64_t ctx, uint64_t seg, uint64_t virt, const U256& v) {
-    data[mem_key(ctx, seg, virt)] = v;
-    uint64_t& mv = maxvirt.try_emplace(mem_key(ctx, seg, 0), virt)
-                       .first->second;
-    if (virt > mv) mv = virt;
+    segs[mem_key(ctx, seg, 0)].put(virt, v);
+  }
+
+  bool is_set(uint64_t ctx, uint64_t seg, uint64_t virt) const {
+    auto it = segs.find(mem_key(ctx, seg, 0));
+    return it != segs.end() && it->second.find(virt) != nullptr;
+  }
+
+  uint64_t total_count() const {
+    uint64_t n = 0;
+    for (auto& kv : segs) n += kv.second.count;
+    return n;
   }
 };
 
@@ -241,6 +325,15 @@ struct Zvm {
 
   void record_entry(uint64_t pc, uint8_t op) {
     if (!record) return;
+    if (trace.empty() && trace.capacity() < (1 << 16)) {
+      // one recorded row = TraceMeta + 17 stack tops; reserve for the
+      // segment budget up front so the tops vector never re-copies
+      uint64_t n = cycle_limit > 0 ? (uint64_t)cycle_limit + 128
+                                   : (1ULL << 16);
+      if (n > (1ULL << 22)) n = 1ULL << 22;
+      trace.reserve(n);
+      tops.reserve(17 * n);
+    }
     TraceMeta m;
     m.pc = pc;
     m.op = op;
@@ -253,10 +346,19 @@ struct Zvm {
     trace.push_back(m);
     uint64_t n = r.stack_len < 17 ? r.stack_len : 17;
     U256 z{{0, 0, 0, 0}};
-    for (int i = 0; i < 17; i++) tops.push_back(z);
+    tops.resize(tops.size() + 17, z);
     U256* t = &tops[tops.size() - 17];
-    for (uint64_t i = 0; i < n; i++)
-      t[17 - n + i] = mem->get(r.ctx, seg_stack, r.stack_len - n + i);
+    // one segment lookup for all 17 tops (not 17 hash probes); stack
+    // cells below stack_len are written, so a miss reads as zero
+    // exactly like mem->get (the Stack segment has no preinit)
+    auto sit = mem->segs.find(mem_key(r.ctx, seg_stack, 0));
+    if (sit != mem->segs.end()) {
+      const SegArr& sa = sit->second;
+      for (uint64_t i = 0; i < n; i++) {
+        const U256* p = sa.find(r.stack_len - n + i);
+        if (p) t[17 - n + i] = *p;
+      }
+    }
   }
 
   // ---- code / jumptables ----
@@ -778,8 +880,7 @@ extern "C" {
 // ---- memory handle ----
 void* zvm_mem_new() {
   ZvmMem* m = new ZvmMem();
-  m->data.reserve(1 << 18);  // kernel code + shift table land immediately
-  m->maxvirt.reserve(1 << 12);
+  m->segs.reserve(1 << 12);
   return m;
 }
 void zvm_mem_free(void* m) { delete (ZvmMem*)m; }
@@ -792,7 +893,7 @@ void zvm_mem_get(void* m, uint64_t ctx, uint64_t seg, uint64_t virt,
 }
 
 int zvm_mem_is_set(void* m, uint64_t ctx, uint64_t seg, uint64_t virt) {
-  return ((ZvmMem*)m)->data.count(mem_key(ctx, seg, virt)) ? 1 : 0;
+  return ((ZvmMem*)m)->is_set(ctx, seg, virt) ? 1 : 0;
 }
 
 void zvm_mem_set(void* m, uint64_t ctx, uint64_t seg, uint64_t virt,
@@ -835,22 +936,18 @@ void zvm_mem_read_bytes(void* m, uint64_t ctx, uint64_t seg,
 // largest set virtual in (ctx, seg), or -1 if none
 int64_t zvm_mem_max_virt(void* m, uint64_t ctx, uint64_t seg) {
   ZvmMem* mm = (ZvmMem*)m;
-  auto it = mm->maxvirt.find(mem_key(ctx, seg, 0));
-  return it == mm->maxvirt.end() ? -1 : (int64_t)it->second;
+  auto it = mm->segs.find(mem_key(ctx, seg, 0));
+  return (it == mm->segs.end() || it->second.count == 0)
+             ? -1
+             : (int64_t)it->second.maxv;
 }
 
 // drop every key of a context (stale-context pruning between segments)
 void zvm_mem_delete_context(void* m, uint64_t ctx) {
   ZvmMem* mm = (ZvmMem*)m;
-  for (auto it = mm->data.begin(); it != mm->data.end();) {
+  for (auto it = mm->segs.begin(); it != mm->segs.end();) {
     if ((uint64_t)(it->first >> 64) == ctx)
-      it = mm->data.erase(it);
-    else
-      ++it;
-  }
-  for (auto it = mm->maxvirt.begin(); it != mm->maxvirt.end();) {
-    if ((uint64_t)(it->first >> 64) == ctx)
-      it = mm->maxvirt.erase(it);
+      it = mm->segs.erase(it);
     else
       ++it;
   }
@@ -859,24 +956,21 @@ void zvm_mem_delete_context(void* m, uint64_t ctx) {
 // (virt, value) items of one (ctx, seg), virt-ascending
 uint64_t zvm_mem_seg_len(void* m, uint64_t ctx, uint64_t seg) {
   ZvmMem* mm = (ZvmMem*)m;
-  uint64_t n = 0;
-  u128 lo = mem_key(ctx, seg, 0), hi = mem_key(ctx, seg + 1, 0);
-  for (auto& kv : mm->data)
-    if (kv.first >= lo && kv.first < hi) n++;
-  return n;
+  auto it = mm->segs.find(mem_key(ctx, seg, 0));
+  return it == mm->segs.end() ? 0 : it->second.count;
 }
 
 void zvm_mem_seg_dump(void* m, uint64_t ctx, uint64_t seg,
                       uint64_t* virts, uint64_t* vals4) {
   ZvmMem* mm = (ZvmMem*)m;
-  std::vector<u128> keys;
-  u128 lo = mem_key(ctx, seg, 0), hi = mem_key(ctx, seg + 1, 0);
-  for (auto& kv : mm->data)
-    if (kv.first >= lo && kv.first < hi) keys.push_back(kv.first);
-  std::sort(keys.begin(), keys.end());
-  for (size_t i = 0; i < keys.size(); i++) {
-    virts[i] = (uint64_t)keys[i] & 0xFFFFFFFF;
-    std::memcpy(vals4 + 4 * i, mm->data[keys[i]].w, 32);
+  auto it = mm->segs.find(mem_key(ctx, seg, 0));
+  if (it == mm->segs.end()) return;
+  std::vector<uint64_t> ks;
+  ks.reserve(it->second.count);
+  it->second.keys(ks);
+  for (size_t i = 0; i < ks.size(); i++) {
+    virts[i] = ks[i];
+    std::memcpy(vals4 + 4 * i, it->second.find(ks[i])->w, 32);
   }
 }
 
@@ -903,23 +997,29 @@ void zvm_mem_preinit_get(void* m, uint64_t seg, uint64_t* out,
   std::memcpy(out, v.data(), (n < v.size() ? n : v.size()) * 32);
 }
 
-// sorted (ctx, seg, virt, value) dump of the data map
-uint64_t zvm_mem_len(void* m) { return ((ZvmMem*)m)->data.size(); }
+// sorted (ctx, seg, virt, value) dump of the live cells
+uint64_t zvm_mem_len(void* m) { return ((ZvmMem*)m)->total_count(); }
 
 void zvm_mem_dump(void* m, uint64_t* keys3, uint64_t* vals4) {
   ZvmMem* mm = (ZvmMem*)m;
-  std::vector<u128> keys;
-  keys.reserve(mm->data.size());
-  for (auto& kv : mm->data) keys.push_back(kv.first);
-  std::sort(keys.begin(), keys.end());
+  std::vector<u128> skeys;
+  skeys.reserve(mm->segs.size());
+  for (auto& kv : mm->segs) skeys.push_back(kv.first);
+  std::sort(skeys.begin(), skeys.end());
   uint64_t i = 0;
-  for (u128 k : keys) {
-    keys3[3 * i] = (uint64_t)(k >> 64);
-    keys3[3 * i + 1] = ((uint64_t)k >> 32) & 0xFFFFFFFF;
-    keys3[3 * i + 2] = (uint64_t)k & 0xFFFFFFFF;
-    const U256& v = mm->data[k];
-    std::memcpy(vals4 + 4 * i, v.w, 32);
-    i++;
+  std::vector<uint64_t> ks;
+  for (u128 sk : skeys) {
+    const SegArr& sa = mm->segs[sk];
+    ks.clear();
+    ks.reserve(sa.count);
+    sa.keys(ks);
+    for (uint64_t virt : ks) {
+      keys3[3 * i] = (uint64_t)(sk >> 64);
+      keys3[3 * i + 1] = ((uint64_t)sk >> 32) & 0xFFFFFFFF;
+      keys3[3 * i + 2] = virt;
+      std::memcpy(vals4 + 4 * i, sa.find(virt)->w, 32);
+      i++;
+    }
   }
 }
 

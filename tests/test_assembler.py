@@ -254,3 +254,23 @@ def test_peephole_rules():
     out = opt.optimize_asm([push(4), push(3), push(2),
                             ap.StandardOp("ADD"), ap.StandardOp("MUL")])
     assert out == [push(20)]
+
+
+def test_frozen_kernel_roundtrip(tmp_path, monkeypatch):
+    """The vendored pre-assembled kernel artifact loads bit-identically
+    and serves combined_kernel() when no reference checkout is mounted
+    (the runtime must not silently require /root/reference)."""
+    import os
+    from zk_evm_tpu.witness import assembler as asm
+
+    assert os.path.exists(asm.FROZEN_KERNEL_PATH), \
+        "vendored kernel artifact missing (scripts/freeze_kernel)"
+    frozen = asm.load_frozen_kernel()
+    assert frozen.code and frozen.code_hash
+    assert frozen.global_labels["main"] >= 0
+    # point the reference env at a non-existent dir: combined_kernel
+    # must fall back to the frozen artifact
+    monkeypatch.setenv("ZK_EVM_REFERENCE", str(tmp_path / "nope"))
+    k = asm.combined_kernel()
+    assert k.code == frozen.code
+    assert k.prover_inputs == frozen.prover_inputs

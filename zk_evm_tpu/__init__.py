@@ -25,3 +25,33 @@ host, as laid out in SURVEY.md §7.
 """
 
 __version__ = "0.1.0"
+
+
+def _tune_allocator():
+    """Keep large numpy temporaries in the malloc arena.
+
+    Table builds allocate and free hundreds-of-MB numpy arrays per
+    table; glibc's default mmap threshold (128 KB) services each from a
+    fresh mmap and munmaps it on free, so every build re-faults its
+    working set. Under this environment's hypervisor a page fault costs
+    ~25 us — first-touch memcpy measures 0.16 GB/s vs 8 GB/s warm — so
+    faults, not compute, dominated witness table builds. Raising the
+    mmap/trim thresholds keeps big buffers in the arena: faulted once
+    per process, reused forever (the reference gets the same effect
+    from jemalloc, zero/src/bin/worker.rs:12-14)."""
+    import ctypes
+    import sys
+    if not sys.platform.startswith("linux"):
+        return
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_TRIM_THRESHOLD = -1
+        M_MMAP_THRESHOLD = -3
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
+        libc.mallopt(M_TRIM_THRESHOLD, 1 << 30)
+    except OSError:
+        pass
+
+
+if not __import__("os").environ.get("ZK_NO_MALLOC_TUNE"):
+    _tune_allocator()

@@ -66,7 +66,7 @@ def all_starks(flavor: str = "eth_mainnet"):
     starks = [
         ArithmeticStark(),
         BytePackingStark(),
-        CpuStark(),
+        CpuStark(flavor=flavor),
         KeccakStark(),
         KeccakSpongeStark(),
         LogicStark(),
@@ -198,19 +198,22 @@ def _cpu_byte_packing_views():
     return (mload, mstore, push, jumptable)
 
 
-def _cpu_memory_views():
+def _cpu_memory_views(flavor: str = "eth_mainnet"):
     """The five memory-bus channels plus SET_CONTEXT's two stack-pointer
     ops (cpu_stark.rs:334-463). Tuple order matches memory.ctl_data():
     (is_read, ctx, seg, virt, 8 value limbs, timestamp)."""
     views = []
-    # code channel: every executed instruction reads its opcode
+    # code channel: every executed instruction (is_cpu = sum of ALL op
+    # flags, incl. the cdk poseidon flag) reads its opcode
+    op_flags = tuple(cc.OP.values()) \
+        + ((cc.POSEIDON,) if flavor == "cdk_erigon" else ())
     views.append(CtlView(
         table=Table.Cpu,
         columns=(ColExpr(const=1), col(cc.CODE_CONTEXT),
                  ColExpr(const=int(Segment.Code)),
                  col(cc.PROGRAM_COUNTER), _le_bits(cc.OPCODE_BITS))
         + _zeros(7) + (_timestamp(0),),
-        filter=Filter(sum_cols=tuple(cc.OP.values()))))
+        filter=Filter(sum_cols=op_flags)))
     for i, ch in enumerate(cc.MEM_CHANNELS):
         views.append(CtlView(
             table=Table.Cpu,
@@ -247,35 +250,82 @@ def _cpu_memory_views():
     return tuple(views)
 
 
+def _cdk_poseidon_simple_filter() -> Filter:
+    """op.poseidon * (1 - opcode_bits[0]) — POSEIDON, 0x22
+    (cpu_stark.rs ctl_poseidon_simple_filter:513-521)."""
+    return Filter(products=((col(cc.POSEIDON),
+                             ColExpr(terms=((cc.OPCODE_BITS[0], -1),),
+                                     const=1)),))
+
+
+def _cdk_poseidon_general_filter() -> Filter:
+    """op.poseidon * opcode_bits[0] — POSEIDON_GENERAL, 0x23
+    (cpu_stark.rs:526-533)."""
+    return Filter(product=(cc.POSEIDON, cc.OPCODE_BITS[0]))
+
+
+def _cdk_poseidon_simple_view() -> CtlView:
+    """GP channels 0..2 carry x,y,z as u64 felts (pairs of 32-bit limbs
+    recombined); the digest is the next row's top-of-stack
+    (cpu_stark.rs ctl_poseidon_simple_op:467-487)."""
+    cols = []
+    for channel in range(3):
+        ch = cc.MEM_CHANNELS[channel]
+        for i in range(4):
+            cols.append(ColExpr(terms=((ch.value[2 * i], 1),
+                                       (ch.value[2 * i + 1], 1 << 32))))
+    cols.extend(_ch_value_next(cc.MEM_CHANNELS[0]))
+    return CtlView(table=Table.Cpu, columns=tuple(cols),
+                   filter=_cdk_poseidon_simple_filter())
+
+
+def _cdk_poseidon_general_input_view() -> CtlView:
+    """(ctx, seg, virt) from the address on top, len from channel 1,
+    timestamp = clock * NUM_CHANNELS (cpu_stark.rs:490-507)."""
+    ctx, seg, virt = _cpu_addr_from_top()
+    return CtlView(
+        table=Table.Cpu,
+        columns=(ctx, seg, virt, col(cc.MEM_CHANNELS[1].value[0]),
+                 ColExpr(terms=((cc.CLOCK, NUM_CHANNELS),))),
+        filter=_cdk_poseidon_general_filter())
+
+
+def _cdk_poseidon_general_output_view() -> CtlView:
+    """Digest = next row's top, timestamp = clock * NUM_CHANNELS
+    (cpu_stark.rs ctl_poseidon_general_output:538-544)."""
+    return CtlView(
+        table=Table.Cpu,
+        columns=_ch_value_next(cc.MEM_CHANNELS[0])
+        + (ColExpr(terms=((cc.CLOCK, NUM_CHANNELS),)),),
+        filter=_cdk_poseidon_general_filter())
+
+
 def all_cross_table_lookups(
         flavor: str = "eth_mainnet") -> list[CrossTableLookup]:
     """The 10 eth_mainnet CTLs (all_stark.rs:153-172). flavor=
     "cdk_erigon" adds the three Poseidon CTLs (all_stark.rs:166-170,
-    420-441) and the Poseidon table's 56 byte-read views into the memory
-    CTL (all_stark.rs:345-349). The CPU-side looking views of the three
-    Poseidon CTLs belong to cdk-erigon's CPU layout (a different kernel
-    instruction set from the eth_mainnet CPU built here); until that
-    layout lands they are carried by verify_all's extra_looking_sums,
-    computed from the PoseidonOp list."""
+    420-441) with their cdk-CPU looking views (the cdk CpuStark layout
+    carries the extra `poseidon` op flag) and the Poseidon table's 56
+    byte-read views into the memory CTL (all_stark.rs:345-349)."""
     ctls = _base_ctls(flavor)
     if flavor == "cdk_erigon":
         from . import poseidon
         ctls.append(CrossTableLookup(
             name="poseidon_simple",
-            looking=(),
+            looking=(_cdk_poseidon_simple_view(),),
             looked=CtlView(table=Table.Poseidon,
                            columns=poseidon.ctl_looked_simple_op(),
                            filter=poseidon.ctl_looked_simple_filter())))
         ctls.append(CrossTableLookup(
             name="poseidon_general_input",
-            looking=(),
+            looking=(_cdk_poseidon_general_input_view(),),
             looked=CtlView(
                 table=Table.Poseidon,
                 columns=poseidon.ctl_looked_general_input(),
                 filter=poseidon.ctl_looked_general_input_filter())))
         ctls.append(CrossTableLookup(
             name="poseidon_general_output",
-            looking=(),
+            looking=(_cdk_poseidon_general_output_view(),),
             looked=CtlView(
                 table=Table.Poseidon,
                 columns=poseidon.ctl_looked_general_output(),
@@ -351,7 +401,7 @@ def _base_ctls(flavor: str = "eth_mainnet") -> list[CrossTableLookup]:
         # + 32 byte_packing ops + MemBefore rows -> Memory
         CrossTableLookup(
             name="memory",
-            looking=_cpu_memory_views()
+            looking=_cpu_memory_views(flavor)
             + tuple(
                 CtlView(table=Table.KeccakSponge,
                         columns=keccak_sponge.ctl_looking_memory(i),

@@ -34,6 +34,10 @@ ALIGNED_BLOCKS = [
     (0xf9, 8, True, "exit_kernel"),       # 0xf9
 ]
 
+# cdk_erigon adds the POSEIDON/POSEIDON_GENERAL block (decode.rs:42);
+# bit 0 distinguishes POSEIDON (0x22) from POSEIDON_GENERAL (0x23)
+CDK_ALIGNED_BLOCKS = [(0x22, 7, True, "poseidon")]
+
 COMBINED_FLAGS = ["logic_op", "fp254_op", "binary_op", "ternary_op",
                   "shift", "m_op_general", "jumpdest_keccak_general",
                   "not_pop", "pc_push0", "m_op_32bytes",
@@ -139,7 +143,8 @@ NATIVE_FLAGS = ["binary_op", "ternary_op", "fp254_op", "eq_iszero",
 
 def build_cpu_rows(ops, n_rows=None, start_pc=0, halt_pc=0,
                    final_gas=None, final_context=0, final_stack_len=0,
-                   syscall_jumptable=0, exception_jumptable=0):
+                   syscall_jumptable=0, exception_jumptable=0,
+                   flavor="eth_mainnet"):
     """(num_columns, n) trace matrix from executed instructions.
 
     `ops` entries are (opcode, is_kernel), (opcode, is_kernel, flag),
@@ -156,7 +161,9 @@ def build_cpu_rows(ops, n_rows=None, start_pc=0, halt_pc=0,
         n_rows = 1 << max(1, n.bit_length())
         if n_rows < n + 1:
             n_rows <<= 1          # at least one halt padding row
-    m = np.zeros((cc.NUM_CPU_COLUMNS, n_rows), dtype=np.uint64)
+    ncols = cc.NUM_CPU_COLUMNS_CDK if flavor == "cdk_erigon" \
+        else cc.NUM_CPU_COLUMNS
+    m = np.zeros((ncols, n_rows), dtype=np.uint64)
     m[cc.CLOCK] = np.arange(1, n_rows + 1, dtype=np.uint64)
     m[cc.IS_KERNEL_MODE] = 1
     m[cc.PROGRAM_COUNTER] = halt_pc
@@ -182,7 +189,7 @@ def build_cpu_rows(ops, n_rows=None, start_pc=0, halt_pc=0,
         for b in range(8):
             m[cc.OPCODE_BITS[b], r] = (opcode >> b) & 1
         if flag is not None:
-            m[cc.OP[flag], r] = 1
+            m[cc.POSEIDON if flag == "poseidon" else cc.OP[flag], r] = 1
             if flag == "push_prover_input":
                 m[cc.PUSH_IS_NOT_KERNEL, r] = 0 if kernel else 1
             if len(op) <= 6 or op[6] is None:
@@ -276,6 +283,10 @@ def _fill_stack_witness(m, r, opcode, flag, stack, kernel=True, ctx=0):
     if L:
         _set_value(m, r, cc.MEM_CHANNELS[0], stack[-1])
     behavior = STACK_BEHAVIORS.get(flag)
+    if flag == "poseidon":
+        # POSEIDON pops 3, POSEIDON_GENERAL pops 2; both push the
+        # digest as the next top (stack.rs:107-121)
+        behavior = (2, True, True) if opcode & 1 else (3, True, True)
     if flag == "jumps":
         jumpi = opcode & 1
         dst = stack[-1]
@@ -595,11 +606,16 @@ class CpuStark(Stark):
 
     def __init__(self, start_pc: int = 0, halt_pc: int = 0,
                  syscall_jumptable: int = 0,
-                 exception_jumptable: int = 0):
+                 exception_jumptable: int = 0,
+                 flavor: str = "eth_mainnet"):
         self.start_pc = start_pc
         self.halt_pc = halt_pc
         self.syscall_jumptable = syscall_jumptable
         self.exception_jumptable = exception_jumptable
+        self.flavor = flavor
+        if flavor == "cdk_erigon":
+            # one extra op flag (ops.rs cfg(cdk_erigon) poseidon)
+            self.num_columns = cc.NUM_CPU_COLUMNS_CDK
 
     def eval(self, frame: StarkFrame, consumer: ConstraintConsumer):
         lv = frame.local
@@ -619,8 +635,15 @@ class CpuStark(Stark):
         for b in bits:
             consumer.constraint(b * b - b)
 
-        flags = [lv[cc.OP[f]] for _, _, _, f in ALIGNED_BLOCKS] \
-            + [lv[cc.OP[f]] for f in COMBINED_FLAGS]
+        cdk = self.flavor == "cdk_erigon"
+        aligned_blocks = ALIGNED_BLOCKS + (CDK_ALIGNED_BLOCKS if cdk
+                                           else [])
+        opidx = dict(cc.OP)
+        if cdk:
+            opidx["poseidon"] = cc.POSEIDON
+
+        flags = [lv[opidx[f]] for _, _, _, f in aligned_blocks] \
+            + [lv[opidx[f]] for f in COMBINED_FLAGS]
         for f in flags:
             consumer.constraint(f * f - f)
         s = flags[0]
@@ -629,14 +652,14 @@ class CpuStark(Stark):
         consumer.constraint(s * s - s)
 
         # aligned blocks: flag => top bits match and mode is allowed
-        for start, top_bits, kernel_only, name in ALIGNED_BLOCKS:
+        for start, top_bits, kernel_only, name in aligned_blocks:
             unavailable = (one - kernel) if kernel_only else 0
             mismatch = None
             for i in range(7, 7 - top_bits, -1):
                 want = (start >> i) & 1
                 term = (one - bits[i]) if want else bits[i]
                 mismatch = term if mismatch is None else mismatch + term
-            consumer.constraint(lv[cc.OP[name]]
+            consumer.constraint(lv[opidx[name]]
                                 * (mismatch + unavailable))
 
         opcode = None
@@ -671,12 +694,12 @@ class CpuStark(Stark):
 
         # ---- halt.rs / control_flow.rs ----
         def flag_sum(v):
-            s = v[cc.OP[cpu_flag_names[0]]]
+            s = v[opidx[cpu_flag_names[0]]]
             for f in cpu_flag_names[1:]:
-                s = s + v[cc.OP[f]]
+                s = s + v[opidx[f]]
             return s
 
-        cpu_flag_names = list(cc.OP)
+        cpu_flag_names = list(opidx)
         is_cpu = flag_sum(lv)
         is_cpu_next = flag_sum(nv)
         halt = one - is_cpu
@@ -697,6 +720,9 @@ class CpuStark(Stark):
         native = lv[cc.OP[NATIVE_FLAGS[0]]]
         for f in NATIVE_FLAGS[1:]:
             native = native + lv[cc.OP[f]]
+        if cdk:
+            # POSEIDON/POSEIDON_GENERAL are native (control_flow.rs:23)
+            native = native + lv[cc.POSEIDON]
         pc, npc = lv[cc.PROGRAM_COUNTER], nv[cc.PROGRAM_COUNTER]
         nkernel = nv[cc.IS_KERNEL_MODE]
         consumer.constraint_transition(native * (pc - npc + one))
@@ -749,6 +775,9 @@ class CpuStark(Stark):
         ppi_cost = (one - bits[7]) * G_VERYLOW
         consumer.constraint_transition(
             lv[cc.OP["push_prover_input"]] * (gas_diff - ppi_cost))
+        if cdk:
+            # poseidon: KERNEL_ONLY_INSTR, zero gas (gas.rs:31)
+            consumer.constraint_transition(lv[cc.POSEIDON] * gas_diff)
         # first executing row of a segment starts at gas 0
         consumer.constraint_transition(last_noncpu * nv[cc.GAS])
 
@@ -761,6 +790,14 @@ class CpuStark(Stark):
                         consumer)
         _eval_stack_one(lv, nv, jkg * (one - bits[1]), (2, True, True),
                         consumer)
+        if cdk:
+            # POSEIDON (bit 0 clear): 3 pops, push; POSEIDON_GENERAL
+            # (bit 0 set): 2 pops, push (stack.rs:107-121,355-365)
+            pos_f = lv[cc.POSEIDON]
+            _eval_stack_one(lv, nv, pos_f * (one - bits[0]),
+                            (3, True, True), consumer)
+            _eval_stack_one(lv, nv, pos_f * bits[0], (2, True, True),
+                            consumer)
         # NOT: unary, via its simple_logic filter (not.rs:23-31), with
         # the bitwise-complement value constraint
         not_f = lv[cc.OP["not_pop"]] * bits[0]

@@ -130,3 +130,10 @@ PARTIAL_CHANNEL = PartialChannel(_a)
 
 NUM_CPU_COLUMNS = _a.n
 assert NUM_CPU_COLUMNS == 85, NUM_CPU_COLUMNS
+
+# cdk_erigon flavor: one extra op flag for POSEIDON/POSEIDON_GENERAL
+# (ops.rs cfg(cdk_erigon) `poseidon`; decode.rs:42 block 0x22-0x23).
+# Appended past the eth_mainnet namespace so every other index is
+# flavor-independent.
+POSEIDON = NUM_CPU_COLUMNS
+NUM_CPU_COLUMNS_CDK = NUM_CPU_COLUMNS + 1

@@ -386,17 +386,60 @@ def assemble(files, constants, opcodes, optimize=False) -> Kernel:
                   prover_inputs=prover_inputs)
 
 
+FROZEN_KERNEL_PATH = os.path.join(os.path.dirname(__file__), "..", "data",
+                                  "kernel_eth_mainnet.json.gz")
+
+
+def freeze_kernel(kernel: Kernel, path: str = FROZEN_KERNEL_PATH) -> None:
+    """Serialize an assembled kernel to the vendored artifact (our own
+    derived format — code bytes + labels + prover-input map), so the
+    package proves without a reference checkout mounted. The reference
+    ships the equivalent as a compile-time static (assembler.rs KERNEL
+    Lazy); we ship the assembled bytes as package data."""
+    import gzip
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    payload = {
+        "code": kernel.code.hex(),
+        "code_hash": kernel.code_hash.hex(),
+        "global_labels": kernel.global_labels,
+        "ordered_labels": kernel.ordered_labels,
+        "prover_inputs": {str(k): list(v)
+                          for k, v in kernel.prover_inputs.items()},
+    }
+    with gzip.open(path, "wt") as f:
+        json.dump(payload, f)
+
+
+def load_frozen_kernel(path: str = FROZEN_KERNEL_PATH) -> Kernel:
+    import gzip
+    with gzip.open(path, "rt") as f:
+        payload = json.load(f)
+    return Kernel(code=bytes.fromhex(payload["code"]),
+                  code_hash=bytes.fromhex(payload["code_hash"]),
+                  global_labels=payload["global_labels"],
+                  ordered_labels=payload["ordered_labels"],
+                  prover_inputs={int(k): tuple(v)
+                                 for k, v in payload["prover_inputs"].items()})
+
+
 def combined_kernel(asm_dir: str | None = None,
                     active_features=("eth_mainnet",),
                     extra_sources=()) -> Kernel:
     """Assemble the full 159-file kernel. The .asm sources are data,
-    loaded from the reference checkout (ZK_EVM_REFERENCE) by default.
+    loaded from the reference checkout (ZK_EVM_REFERENCE) by default;
+    when no checkout is mounted (and the build is the stock
+    eth_mainnet one) the vendored pre-assembled kernel artifact is
+    used instead, so proving does not require the reference at runtime.
     `extra_sources` appends additional .asm source strings (e.g. test
     harness routines that call kernel globals)."""
     constants, opcodes, kernel_files = load_tables()
     if asm_dir is None:
         ref = os.environ.get("ZK_EVM_REFERENCE", "/root/reference")
         asm_dir = os.path.join(ref, "evm_arithmetization/src/cpu/kernel")
+        stock = active_features == ("eth_mainnet",) and not extra_sources
+        if stock and not os.path.isdir(asm_dir) \
+                and os.path.exists(FROZEN_KERNEL_PATH):
+            return load_frozen_kernel()
     files = []
     for rel in kernel_files:
         with open(os.path.join(asm_dir, rel)) as f:
