@@ -213,3 +213,41 @@ def test_prove_block_3_end_to_end():
     rt = block_proof_from_json(block_proof_to_json(bp))
     assert rt.public_values == bp.public_values
     assert len(rt.batches) == 2
+
+
+@pytest.mark.skipif(not ZK_SLOW, reason="ZK_SLOW=1 proves two real blocks")
+def test_two_blocks_chain_end_to_end():
+    """Blocks 3 AND 4 of witness_b3_b6: each proven through batch
+    aggregation to a block statement, then chained — block 3 anchors at
+    the checkpoint, block 4 links to block 3's post-state (the
+    reference's cyclic block circuit + --previous-proof resume,
+    fixed_recursive_verifier.rs:2513-2703, zero/src/fs.rs:14-30)."""
+    from zk_evm_tpu.decoder import parse_block_prover_input, entrypoint
+    from zk_evm_tpu.witness.assembler import combined_kernel
+    from zk_evm_tpu.orchestration.aggregation import (
+        prove_block_batches, verify_block_chain,
+        rewrite_checkpoint_consolidation)
+    from zk_evm_tpu.stark.config import StarkConfig
+
+    blocks = json.load(open(
+        "/root/reference/artifacts/witness_b3_b6.json"))
+    gis_per_block = [entrypoint(parse_block_prover_input(blocks[i]))
+                     for i in range(2)]
+    rewrite_checkpoint_consolidation(gis_per_block)
+
+    kernel = combined_kernel()
+    bps = [prove_block_batches(kernel, gis,
+                               config=StarkConfig.test_config(),
+                               max_cpu_len_log=16)
+           for gis in gis_per_block]
+    finals = verify_block_chain(bps, kernel,
+                                config=StarkConfig.test_config())
+    assert len(finals) == 2
+    assert finals[0].new_state_trie_root == \
+        bps[0].public_values.trie_roots_after.state_root
+    assert finals[1].checkpoint_state_trie_root == \
+        finals[0].checkpoint_state_trie_root
+    # resume path: verify block 4 alone against block 3's publics
+    verify_block_chain([bps[1]], kernel,
+                       config=StarkConfig.test_config(),
+                       parent=bps[0].public_values)

@@ -122,3 +122,34 @@ def test_prove_b1033_batch_segment_chain():
                   kernel, gi, max_cpu_len_log=17)]
     assert len(proofs) >= 1
     verify_segments(proofs, kernel, cfg)
+
+
+@pytest.mark.skipif("ZK_SLOW" not in os.environ,
+                    reason="full prove of a real-block segment; ZK_SLOW=1")
+def test_b1033_segment_proves_and_verifies(kernel):
+    """PROVE (not just constraint-check) a real witness_b1033 segment:
+    the proving half of the reference CI's b1033 job
+    (.github/workflows/ci.yml:166-195) at the weak-FRI test config the
+    reference's own CI uses (testing_utils.rs TEST_STARK_CONFIG)."""
+    from zk_evm_tpu.decoder import parse_block_prover_input, entrypoint
+    from zk_evm_tpu.witness.segments import generate_segment_tables
+    from zk_evm_tpu.orchestration.block import prove_block, verify_segments
+    from zk_evm_tpu.stark import StarkConfig, FriConfig
+
+    path = os.path.join(os.path.dirname(WITNESSES), "witness_b1033.json")
+    if not os.path.exists(path):
+        pytest.skip("witness_b1033.json not mounted")
+    blocks = json.load(open(path))
+    bpi = parse_block_prover_input(blocks[0])
+    gi = entrypoint(bpi, batch_size_hint=2)[0]
+    cfg = StarkConfig(
+        security_bits=1,
+        fri_config=FriConfig(rate_bits=1, cap_height=4,
+                             proof_of_work_bits=0, num_query_rounds=1,
+                             arity_bits=4, final_poly_bits=5))
+    proofs = []
+    for _seg, gt in generate_segment_tables(kernel, gi,
+                                            max_cpu_len_log=14):
+        proofs.append(prove_block(gt, cfg))
+    assert proofs
+    verify_segments(proofs, kernel, cfg)

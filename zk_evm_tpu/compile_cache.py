@@ -26,13 +26,20 @@ _DEFAULT_DIR = os.path.expanduser(
 BUCKETS = (8, 10, 12, 14, 16, 17, 18, 19, 20, 21, 22)
 
 
-def enable_persistent_cache(path: str | None = None) -> str:
-    """Idempotently enable the on-disk XLA executable cache."""
+def enable_persistent_cache(path: str | None = None,
+                            min_compile_secs: float = 0.1) -> str:
+    """Idempotently enable the on-disk XLA executable cache.
+
+    The threshold is low (0.1 s, not the 1 s default) because a proving
+    run issues HUNDREDS of medium-sized programs (per-table transcript
+    steps, FRI rounds, window programs); at 1 s each run re-pays the
+    long tail, which dominates e.g. the 8-virtual-device dryrun."""
     import jax
     path = path or _DEFAULT_DIR
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_secs)
     return path
 
 

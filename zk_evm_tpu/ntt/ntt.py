@@ -73,26 +73,82 @@ def _pease_twiddles_np(logn: int, inverse: bool) -> np.ndarray:
     return out
 
 
+@lru_cache(maxsize=64)
+def _pease4_twiddles_np(logn: int, inverse: bool) -> np.ndarray:
+    """(n_r4_stages, 3, n/4) twiddles for the radix-4 stages: stage s
+    (covering radix-2 stages 2s, 2s+1) lane q uses base exponent
+    e = (q >> 2s) << 2s and rows (w^e, w^2e, w^3e)."""
+    n = 1 << logn
+    w = host.primitive_root_of_unity(logn)
+    if inverse:
+        w = host.finv(w)
+    pw = np_field.powers(w, max(n, 4))
+    q = np.arange(n // 4, dtype=np.int64)
+    n4 = logn // 2
+    out = np.empty((n4, 3, n // 4), dtype=np.uint64)
+    for i in range(n4):
+        e = (q >> (2 * i)) << (2 * i)
+        out[i, 0] = pw[e % n]
+        out[i, 1] = pw[(2 * e) % n]
+        out[i, 2] = pw[(3 * e) % n]
+    return out
+
+
 def _pease(x: GF, inverse: bool) -> GF:
-    """Constant-geometry butterfly network: natural in, bit-reversed out."""
+    """Constant-geometry butterfly network: natural in, bit-reversed out.
+
+    Radix-4 stages (each fusing two radix-2 stages into ONE memory
+    pass — the NTT is HBM-bound at 16 B/elem r+w per stage, ROOFLINE),
+    with one trailing radix-2 stage when log2(n) is odd. Outputs are
+    stacked [B0, B2, B1, B3] (the j index bit-reversed inside each
+    radix-4 butterfly) so the overall output order stays exactly
+    bit-reversed, identical to the radix-2 network."""
     n = x.shape[-1]
     logn = n.bit_length() - 1
     if logn == 0:
         return x
-    tw = GF.from_u64(_pease_twiddles_np(logn, inverse))
     shape = x.shape
     half = n // 2
+    quarter = n // 4
 
-    def stage(xc: GF, tws: GF):
-        u = xc[..., :half]
-        v = xc[..., half:]
-        t0 = u + v
-        t1 = (u - v) * tws
-        y = GF.stack([t0, t1], axis=-1).reshape(shape)
-        return y, None
+    if logn >= 2:
+        w4 = host.primitive_root_of_unity(logn)
+        if inverse:
+            w4 = host.finv(w4)
+        i4 = GF.const(host.fexp(w4, n // 4))
+        tw4 = GF.from_u64(_pease4_twiddles_np(logn, inverse))
 
-    y, _ = jax.lax.scan(stage, x, tw)
-    return y
+        def stage4(xc: GF, tws: GF):
+            a = xc[..., :quarter]
+            b = xc[..., quarter:2 * quarter]
+            c = xc[..., 2 * quarter:3 * quarter]
+            d = xc[..., 3 * quarter:]
+            ac0 = a + c
+            ac1 = a - c
+            bd0 = b + d
+            bd1 = (b - d) * i4
+            y0 = ac0 + bd0
+            y1 = (ac0 - bd0) * tws[1]
+            y2 = (ac1 + bd1) * tws[0]
+            y3 = (ac1 - bd1) * tws[2]
+            y = GF.stack([y0, y1, y2, y3], axis=-1).reshape(shape)
+            return y, None
+
+        x, _ = jax.lax.scan(stage4, x, tw4)
+
+    if logn % 2:
+        s = logn - 1
+        tw = GF.from_u64(_pease_twiddles_np(logn, inverse)[s])
+
+        def stage2(xc: GF, tws: GF):
+            u = xc[..., :half]
+            v = xc[..., half:]
+            t0 = u + v
+            t1 = (u - v) * tws
+            return GF.stack([t0, t1], axis=-1).reshape(shape), None
+
+        x, _ = jax.lax.scan(stage2, x, tw.reshape((1,) + tw.shape))
+    return x
 
 
 def fft(coeffs: GF) -> GF:
