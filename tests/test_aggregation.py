@@ -18,6 +18,13 @@ from zk_evm_tpu.orchestration.aggregation import (
     empty_consolidated_blockhash, FinalPublicValues, two_to_one_mix)
 
 ZK_SLOW = os.environ.get("ZK_SLOW") == "1"
+B3B6 = "/root/reference/artifacts/witness_b3_b6.json"
+
+
+def _load_b3b6():
+    if not os.path.exists(B3B6):
+        pytest.skip("witness_b3_b6.json not mounted")
+    return json.load(open(B3B6))
 
 
 def _h(i: int) -> bytes:
@@ -192,8 +199,7 @@ def test_prove_block_3_end_to_end():
     from zk_evm_tpu.stark.serialization import (block_proof_to_json,
                                                 block_proof_from_json)
 
-    blocks = json.load(open(
-        "/root/reference/artifacts/witness_b3_b6.json"))
+    blocks = _load_b3b6()
     bpi = parse_block_prover_input(blocks[0])
     gis = entrypoint(bpi)
     assert len(gis) == 2, "0-txn block must pad to 2 dummy batches"
@@ -229,8 +235,7 @@ def test_two_blocks_chain_end_to_end():
         rewrite_checkpoint_consolidation)
     from zk_evm_tpu.stark.config import StarkConfig
 
-    blocks = json.load(open(
-        "/root/reference/artifacts/witness_b3_b6.json"))
+    blocks = _load_b3b6()
     gis_per_block = [entrypoint(parse_block_prover_input(blocks[i]))
                      for i in range(2)]
     rewrite_checkpoint_consolidation(gis_per_block)

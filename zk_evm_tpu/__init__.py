@@ -27,7 +27,7 @@ host, as laid out in SURVEY.md §7.
 __version__ = "0.1.0"
 
 
-def _tune_allocator():
+def tune_allocator():
     """Keep large numpy temporaries in the malloc arena.
 
     Table builds allocate and free hundreds-of-MB numpy arrays per
@@ -38,7 +38,15 @@ def _tune_allocator():
     faults, not compute, dominated witness table builds. Raising the
     mmap/trim thresholds keeps big buffers in the arena: faulted once
     per process, reused forever (the reference gets the same effect
-    from jemalloc, zero/src/bin/worker.rs:12-14)."""
+    from jemalloc, zero/src/bin/worker.rs:12-14).
+
+    Called explicitly from the prover entry points (CLI, worker, bench)
+    rather than at package import: mallopt mutates process-wide allocator
+    state, which an embedding process must opt into.  ZK_MALLOC_TUNE=0
+    disables it even there."""
+    import os
+    if os.environ.get("ZK_MALLOC_TUNE", "1") in ("0", "false"):
+        return
     import ctypes
     import sys
     if not sys.platform.startswith("linux"):
@@ -53,5 +61,3 @@ def _tune_allocator():
         pass
 
 
-if not __import__("os").environ.get("ZK_NO_MALLOC_TUNE"):
-    _tune_allocator()

@@ -216,7 +216,8 @@ def cmd_trie_diff(args):
 
 def main(argv=None):
     from .compile_cache import enable_persistent_cache
-    from . import runtime_config, metrics
+    from . import runtime_config, metrics, tune_allocator
+    tune_allocator()
     enable_persistent_cache()
     p = argparse.ArgumentParser(prog="zk_evm_tpu")
     p.add_argument("--config", default=None,

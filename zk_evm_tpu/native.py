@@ -24,13 +24,23 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    def _stale():
+        if not os.path.exists(_LIB_PATH):
+            return True
+        so = os.path.getmtime(_LIB_PATH)
+        return any(
+            os.path.getmtime(os.path.join(_DIR, f)) > so
+            for f in os.listdir(_DIR)
+            if f.endswith((".cpp", ".h")))
+
+    if _stale():
         try:
             subprocess.run(["make", "-C", _DIR], check=True,
-                           capture_output=True, timeout=120)
+                           capture_output=True, timeout=300)
         except Exception:
-            _lib = False
-            return _lib
+            if not os.path.exists(_LIB_PATH):
+                _lib = False
+                return _lib
     try:
         lib = ctypes.CDLL(_LIB_PATH)
         lib.keccak256.argtypes = [ctypes.c_char_p, ctypes.c_uint64,

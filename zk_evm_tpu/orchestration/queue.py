@@ -71,9 +71,18 @@ class FsQueue:
     def claim(self, worker: str) -> tuple[str, dict] | None:
         """Claim the oldest pending job via atomic rename; None if the
         queue is empty."""
+        def _mtime(f):
+            # a concurrent worker may claim (rename away) the file between
+            # listdir and stat; sort the ghost last instead of dying (the
+            # broker-atomic claim is the rename below, not this ordering)
+            try:
+                return os.path.getmtime(os.path.join(self.path, f))
+            except OSError:
+                return float("inf")
+
         pending = sorted(
             (f for f in os.listdir(self.path) if f.endswith(_JOB)),
-            key=lambda f: os.path.getmtime(os.path.join(self.path, f)))
+            key=_mtime)
         for fname in pending:
             job_id = fname[:-len(_JOB)]
             src = os.path.join(self.path, fname)
@@ -110,7 +119,11 @@ class FsQueue:
             job_id = fname.split(".claimed.")[0]
             if os.path.exists(os.path.join(self.path, job_id + _RESULT)):
                 continue
-            if now - os.path.getmtime(p) > max_age_s:
+            try:
+                stale = now - os.path.getmtime(p) > max_age_s
+            except OSError:
+                continue                  # completed/requeued concurrently
+            if stale:
                 try:
                     os.rename(p, os.path.join(self.path, job_id + _JOB))
                     n += 1

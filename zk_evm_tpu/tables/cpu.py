@@ -1,12 +1,11 @@
-"""CPU table (WIP): opcode decode + clock constraint modules.
+"""CPU table: the zkCPU's full constraint set plus the host-side decoder.
 
 Twin of the reference's CpuStark (evm_arithmetization/src/cpu/
-cpu_stark.rs).  This file carries the constraint modules implemented so
-far — decode.rs:86-221 (flag booleanity/exclusivity, aligned opcode
-blocks, kernel-only gating, the manually-classified combined flags) and
-clock.rs (clock starts at 1, increments every row) — plus the host-side
-decoder used by trace generation.  Remaining modules (stack, membus,
-gas, jumps, ...) land with witness recording.
+cpu_stark.rs).  Every constraint module of the reference is implemented
+here: decode (decode.rs:86-221 — flag booleanity/exclusivity, aligned
+opcode blocks, kernel-only gating, combined flags), clock, halt, membus,
+gas, stack, dup_swap, jumps, syscalls_exceptions, memio, contextops,
+modfp254, byte_unpacking, pc/push0, and the shift/logic views.
 
 Opcode blocks (start, log2 length checked via top bits, kernel-only):
 the five aligned blocks map 1:1 to flags; eleven combined flags cover
