@@ -63,15 +63,17 @@ struct SegArr {
     return virt < v.size() && (bits[virt >> 6] >> (virt & 63)) & 1;
   }
   // grow the dense range when the write lands near it; wild virts go
-  // to the overflow map so one far write can't balloon memory. The
-  // occupancy gate (count >= new_size/8) stops a sparse ascending
-  // pattern from ratcheting the dense array to the 2^26 cap while
-  // holding few live cells — such writes stay in the overflow map,
-  // whose entries migrate in if density ever catches up.
+  // to the overflow map so one far write can't balloon memory. Below
+  // 2^20 cells (32 MB) growth is unconditional — dense access is what
+  // makes the interpreter fast and the waste is bounded; above that,
+  // an occupancy gate (count >= new_size/8) stops a sparse ascending
+  // pattern from ratcheting the dense array to the 2^26 cap (~2 GB)
+  // while holding few live cells — such writes stay in the overflow
+  // map, whose entries migrate in if density ever catches up.
   bool should_grow(uint64_t virt) const {
     if (virt >= (v.size() << 1) + 4096 || virt >= (1ULL << 26))
       return false;
-    return virt < 4096 || count + 1 >= ((virt + 1) >> 3);
+    return virt < (1ULL << 20) || count + 1 >= ((virt + 1) >> 3);
   }
   void grow_to(uint64_t n) {
     v.resize(n, U256{{0, 0, 0, 0}});

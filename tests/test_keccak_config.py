@@ -85,3 +85,53 @@ def test_recursion_rejects_keccak_config():
     proof = prove_stark(logic.LogicStark(), trace, cfg, Challenger())
     with pytest.raises(AssertionError, match="Poseidon"):
         verify_stark_tape(None, logic.LogicStark(), proof, cfg)
+
+
+def test_keccak_device_f1600_matches_numpy():
+    """Device keccak-f[1600] (2x-u32-lane XLA) == host numpy twin."""
+    import jax.numpy as jnp
+    from zk_evm_tpu.hash.keccak_np import keccak_f1600
+    from zk_evm_tpu.hash.keccak_device import keccak_f1600_pair
+    rng = np.random.default_rng(11)
+    state = rng.integers(0, 2**64, size=(6, 5, 5), dtype=np.uint64)
+    want = keccak_f1600(state.copy())
+    lo = jnp.asarray((state & 0xFFFFFFFF).astype(np.uint32))
+    hi = jnp.asarray((state >> 32).astype(np.uint32))
+    glo, ghi = keccak_f1600_pair(lo, hi)
+    got = np.asarray(glo, dtype=np.uint64) \
+        | (np.asarray(ghi, dtype=np.uint64) << np.uint64(32))
+    assert np.array_equal(got, want)
+
+
+def test_keccak_device_tree_bit_identical_to_host():
+    """The DEVICE keccak commitment tree (hasher="keccak") equals the
+    host-numpy twin cap-for-cap and path-for-path (VERDICT r4 #8)."""
+    from zk_evm_tpu.field import GF, host
+    from zk_evm_tpu.merkle import build_commitment_tree
+    from zk_evm_tpu.merkle.keccak_tree import build_tree_keccak
+    rng = np.random.default_rng(13)
+    for width in (3, 7, 20):          # noop-leaf, 1-block, 2-block
+        leaves = rng.integers(0, host.P, size=(16, width), dtype=np.uint64)
+        dev = build_commitment_tree(GF.from_u64(leaves), cap_height=1,
+                                    hasher="keccak")
+        hostt = build_tree_keccak(leaves, cap_height=1)
+        assert [[int(x) for x in r] for r in dev.cap_u64()] \
+            == hostt.cap_ints(), f"width {width}"
+        for idx in (0, 9, 15):
+            assert dev.prove(idx) == hostt.prove(idx), (width, idx)
+
+
+def test_prove_verify_keccak_device_matches_host_config():
+    """A proof under the device keccak config is byte-identical to the
+    host-numpy config's proof (same transcript, same caps)."""
+    from zk_evm_tpu.tables import memory_continuation as mc
+    from zk_evm_tpu.tables.segments import Segment
+    from zk_evm_tpu.stark.serialization import proof_to_json
+    values = [((0, int(Segment.MainMemory), i), 31 * i + 5)
+              for i in range(6)]
+    trace = mc.generate_trace(values)
+    stark = mc.MemoryContinuationStark()
+    p_dev = prove_stark(stark, trace, _cfg("keccak"), Challenger())
+    p_host = prove_stark(stark, trace, _cfg("keccak_host"), Challenger())
+    assert proof_to_json(p_dev) == proof_to_json(p_host)
+    verify_stark(stark, p_dev, _cfg("keccak"), Challenger())

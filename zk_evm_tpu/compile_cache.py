@@ -35,7 +35,14 @@ def enable_persistent_cache(path: str | None = None,
     steps, FRI rounds, window programs); at 1 s each run re-pays the
     long tail, which dominates e.g. the 8-virtual-device dryrun."""
     import jax
-    path = path or _DEFAULT_DIR
+    if path is None:
+        # Segregate by backend: the cache stores AOT executables whose
+        # machine features are backend- (and host-) specific. A CPU
+        # process reading TPU-era entries spends MINUTES in
+        # cpu_aot_loader rejecting every candidate (observed round 5:
+        # a 17 s windowed-quotient compile took >9 min through a
+        # TPU-polluted cache) — and vice versa.
+        path = os.path.join(_DEFAULT_DIR, jax.default_backend())
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",

@@ -92,3 +92,18 @@ def build_tree(leaves: GF, cap_height: int = 4) -> MerkleTree:
     n = leaves.shape[0]
     assert n & (n - 1) == 0 and n >= (1 << cap_height), (n, cap_height)
     return MerkleTree(leaves, _build_levels(leaves, cap_height), cap_height)
+
+
+def build_tree_keccak_device(leaves: GF, cap_height: int = 4) -> MerkleTree:
+    """Keccak commitment tree ON DEVICE (hash/keccak_device.py): same
+    digest law as the host-numpy twin (merkle/keccak_tree.py), same
+    MerkleTree interface as the Poseidon tree — the device engine for
+    StarkConfig.hasher="keccak" (the reference's KeccakGoldilocksConfig,
+    tests/simple_transfer.rs:24,30)."""
+    from ..hash import keccak_device
+    n = leaves.shape[0]
+    assert n & (n - 1) == 0 and n >= (1 << cap_height), (n, cap_height)
+    levels = [keccak_device.hash_rows(leaves)]
+    while levels[-1].shape[0] > (1 << cap_height):
+        levels.append(keccak_device.compress(levels[-1]))
+    return MerkleTree(leaves, levels, cap_height)

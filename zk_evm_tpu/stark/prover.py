@@ -19,7 +19,7 @@ from .. import ntt
 from ..challenger import Challenger
 from .config import StarkConfig
 from .poly_batch import PolynomialBatch
-from .stark import Stark, StarkFrame, ConstraintConsumer
+from .stark import Stark, StarkFrame, ConstraintConsumer, StackingConsumer
 from .proof import StarkProof, StarkOpeningSet
 from . import domains, fri, lookup
 from ..timing import timed
@@ -40,6 +40,24 @@ def _use_jit_quotient() -> bool:
         return env not in ("0", "false")
     import jax
     return jax.default_backend() != "cpu"
+
+
+def _use_stack_fold() -> bool:
+    """Fold the constraint composition as one stacked log-tree reduction
+    (StackingConsumer) instead of a serial per-constraint alpha chain.
+    Bit-identical math; besides being the faster shape on the device it
+    is the round-5 FIX for the windowed-quotient TPU miscompile (the
+    axon XLA build miscompiles the fused eval+serial-fold graph for the
+    Poseidon/Keccak block-constraint tables — scripts/bisect_poseidon*).
+    ZK_SEQ_FOLD=1 restores the old serial fold for A/B debugging."""
+    import os
+    return os.environ.get("ZK_SEQ_FOLD") not in ("1", "true")
+
+
+def _make_consumer(alphas, zero, z_last, lagrange_first, lagrange_last):
+    cls = StackingConsumer if _use_stack_fold() else ConstraintConsumer
+    return cls(alphas=alphas, zero=zero, z_last=z_last,
+               lagrange_first=lagrange_first, lagrange_last=lagrange_last)
 
 
 def _plan_sig(lookups, groups):
@@ -89,7 +107,7 @@ def _make_quotient_fn(stark, lookups, groups, degree_bits: int,
             aux_local=aux_local, aux_next=aux_next,
             public_inputs=list(public_inputs),
             params=tuple(params_gf[i] for i in range(n_params)))
-        cc = ConstraintConsumer(
+        cc = _make_consumer(
             alphas=[alphas_gf[i] for i in range(num_challenges)],
             zero=GF.zeros((m,)),
             z_last=GF.from_u64(sel["z_last"]),
@@ -100,6 +118,8 @@ def _make_quotient_fn(stark, lookups, groups, degree_bits: int,
             chs = lookup.ChallengeSet(tuple(
                 (betas[i], gammas[i]) for i in range(num_challenges)))
             lookup.eval_aux_constraints(lookups, groups, chs, frame, cc)
+        if isinstance(cc, StackingConsumer):
+            cc.finalize()
         zh_inv = GF.from_u64(sel["zh_inv"])
         return GF.stack([acc * zh_inv for acc in cc.accs], axis=0)
 
@@ -134,7 +154,7 @@ def _make_windowed_quotient_fn(stark, lookups, groups,
             aux_next=aux_next_w if has_aux else [],
             public_inputs=list(public_inputs),
             params=tuple(params_gf[i] for i in range(n_params)))
-        cc = ConstraintConsumer(
+        cc = _make_consumer(
             alphas=[alphas_gf[i] for i in range(num_challenges)],
             zero=GF.zeros((w,)),
             z_last=zl_w, lagrange_first=lf_w, lagrange_last=ll_w)
@@ -143,6 +163,8 @@ def _make_windowed_quotient_fn(stark, lookups, groups,
             chs = lookup.ChallengeSet(tuple(
                 (betas[i], gammas[i]) for i in range(num_challenges)))
             lookup.eval_aux_constraints(lookups, groups, chs, frame, cc)
+        if isinstance(cc, StackingConsumer):
+            cc.finalize()
         return GF.stack([acc * zhinv_w for acc in cc.accs], axis=0)
 
     return fn
@@ -191,7 +213,8 @@ def _quotient_chunks(stark: Stark, trace_batch: PolynomialBatch,
 
     if use_jit:
         key = ("win", stark.jit_key(), _plan_sig(lookups, groups),
-               len(alphas), tuple(public_inputs or ()), has_aux)
+               len(alphas), tuple(public_inputs or ()), has_aux,
+               _use_stack_fold())
         fn = _QUOTIENT_FN_CACHE.get(key)
         if fn is None:
             fn = _make_windowed_quotient_fn(
@@ -223,7 +246,7 @@ def _quotient_chunks(stark: Stark, trace_batch: PolynomialBatch,
 
     key = (stark.jit_key(), _plan_sig(lookups, groups), degree_bits,
            rate_bits, len(alphas), tuple(public_inputs or ()), has_aux,
-           use_jit)
+           use_jit, _use_stack_fold())
     fn = _QUOTIENT_FN_CACHE.get(key)
     if fn is None:
         fn = _make_quotient_fn(stark, lookups, groups, degree_bits,

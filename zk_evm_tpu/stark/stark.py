@@ -96,6 +96,70 @@ class ConstraintConsumer:
         self.constraint_block(cs * self.z_last)
 
 
+class StackingConsumer(ConstraintConsumer):
+    """Same folding semantics as ConstraintConsumer, computed as ONE
+    weighted log-tree reduction instead of a serial alpha-chain.
+
+    Every constraint call stacks its (m,)- or (K, m)-shaped values; a
+    final `finalize()` computes, per challenge,
+        acc = sum_k alpha^{K_total-1-k} c_k
+    which is bit-identical to K_total sequential `constraint()` folds
+    (acc0 = 0). Two reasons to prefer this on the device:
+
+    * the serial chain is K dependent mul-adds; the stacked form is one
+      broadcast multiply + a log-depth tree sum — far better utilization
+      for the wide bitwise tables;
+    * round 5 root-cause: the XLA:TPU (axon) compile of the big fused
+      eval+serial-fold graph MISCOMPILES for the Poseidon table (jit
+      and eager disagreed; scripts/bisect_poseidon*.py) while both the
+      stacked values and the single big fold compile correctly — this
+      shape is the fix for the round-4 windowed-quotient regression.
+    """
+
+    def __init__(self, alphas, zero, z_last, lagrange_first, lagrange_last):
+        super().__init__(alphas, zero, z_last, lagrange_first, lagrange_last)
+        self._stack = []
+        self._zero = zero
+
+    def constraint(self, c) -> None:
+        from ..field import GF
+        if not isinstance(c, GF):
+            c = self._zero + c
+        if c.shape != self._zero.shape:
+            c = c.broadcast_to(self._zero.shape)
+        self._stack.append(c.reshape(1, -1))
+
+    def constraint_block(self, cs) -> None:
+        from ..field import GF
+        if isinstance(cs, (list, tuple)):
+            for c in cs:
+                self.constraint(c)
+            return
+        self._stack.append(cs.reshape(-1, cs.shape[-1]))
+
+    def finalize(self) -> None:
+        """Compute accs from the stacked constraints. Idempotent."""
+        from ..field import GF
+        if not self._stack:
+            return
+        cs = GF.concatenate(self._stack, axis=0)
+        self._stack = []
+        k = cs.shape[0]
+        new_accs = []
+        for acc, alpha in zip(self.accs, self.alphas):
+            if isinstance(alpha, int):
+                from ..field import np_field
+                import numpy as np
+                w = np_field.powers(alpha, k)[::-1].copy()
+                wgf = GF.from_u64(w.reshape(k, 1))
+            else:
+                wfwd, _ak = _gf_powers(alpha, k)
+                wgf = wfwd[::-1].reshape(k, 1)
+            # acc0 is zero by construction (fresh consumer per window)
+            new_accs.append((cs * wgf).sum(axis=0))
+        self.accs = new_accs
+
+
 def _gf_powers(alpha, k: int):
     """[alpha^0 .. alpha^(k-1)] as a (k,) GF array plus alpha^k, built by
     log-doubling (O(log k) traced ops) from a GF scalar."""
