@@ -87,3 +87,61 @@ def test_queue_map_orders_results(tmp_path):
                 timeout=10)
     t.join()
     assert [r["echo"] for r in out] == list(range(8))
+
+
+def test_worker_affinity_routing(tmp_path):
+    """Heavy/light routing classes (leader.rs:28-70 twin): a light-only
+    worker never claims heavy jobs; an unrestricted worker drains both;
+    stale requeues preserve the class."""
+    from zk_evm_tpu.orchestration.queue import FsQueue
+    q = FsQueue(str(tmp_path))
+    heavy = [q.submit({"kind": "echo", "payload": i}, klass="heavy")
+             for i in range(3)]
+    light = q.submit({"kind": "echo", "payload": "agg"}, klass="light")
+
+    got = q.claim("w-light", classes=("light",))
+    assert got is not None and got[0] == light
+    assert q.claim("w-light", classes=("light",)) is None
+
+    seen = set()
+    while (c := q.claim("w-any")) is not None:
+        seen.add(c[0])
+    assert seen == set(heavy)
+
+    # stale requeue keeps the routing class claimable by class
+    q2 = FsQueue(str(tmp_path / "b"))
+    jid = q2.submit({"kind": "echo"}, klass="heavy")
+    assert q2.claim("w1", classes=("heavy",))[0] == jid
+    import os, time
+    for f in os.listdir(q2.path):
+        if ".claimed." in f:
+            old = time.time() - 3600
+            os.utime(os.path.join(q2.path, f), (old, old))
+    assert q2.requeue_stale(10) == 1
+    assert q2.claim("w2", classes=("heavy",))[0] == jid
+
+
+def test_bounded_block_pool_runs_all_blocks():
+    """prove_blocks_bounded: permits bound concurrency, results keep
+    block order (zero/src/prover.rs:53-59 twin)."""
+    import threading
+    import time as _t
+    from zk_evm_tpu.orchestration.aggregation import prove_blocks_bounded
+    live = []
+    peak = []
+    lock = threading.Lock()
+
+    def fake_prove(gis):
+        with lock:
+            live.append(1)
+            peak.append(len(live))
+        _t.sleep(0.05)
+        with lock:
+            live.pop()
+        return ("proof", gis[0])
+
+    out = prove_blocks_bounded(None, [[i] for i in range(6)],
+                               block_pool_size=2,
+                               prove_batches=fake_prove)
+    assert [p[1] for p in out] == list(range(6))
+    assert max(peak) <= 2

@@ -173,9 +173,10 @@ def cmd_worker(args):
     """Worker loop: claim prove jobs from a shared-directory queue and
     execute them on this host's chip (bin/worker.rs twin)."""
     from .orchestration.queue import run_worker
+    classes = tuple(args.affinity.split(",")) if args.affinity else None
     n = run_worker(args.queue, max_jobs=args.max_jobs,
                    idle_timeout=args.idle_timeout,
-                   worker_name=args.name)
+                   worker_name=args.name, classes=classes)
     print(json.dumps({"jobs_executed": n}))
     return 0
 
@@ -261,6 +262,11 @@ def main(argv=None):
     w.add_argument("--idle-timeout", type=float, default=None,
                    help="exit after this many idle seconds")
     w.add_argument("--name", default=None)
+    w.add_argument("--affinity", default=None,
+                   help="comma-separated routing classes to claim "
+                        "(e.g. 'heavy' or 'light,default'); the "
+                        "reference's light-proof/heavy-proof worker "
+                        "affinity (leader.rs:28-70)")
     w.set_defaults(fn=cmd_worker)
     lsp = sub.add_parser("lsp", help="kernel-asm language server (stdio)")
     lsp.set_defaults(fn=cmd_lsp)

@@ -282,6 +282,26 @@ def rewrite_checkpoint_consolidation(gis_per_block: list[list]) -> tuple:
     return cch
 
 
+def prove_blocks_bounded(kernel, gis_per_block: list[list], config=None,
+                         max_cpu_len_log: int | None = None,
+                         block_pool_size: int = 2,
+                         prove_batches=None) -> list[BlockProof]:
+    """Prove several blocks with at most `block_pool_size` in flight —
+    the reference's PARALLEL_BLOCK_PROVING_PERMIT_POOL semaphore
+    (zero/src/prover.rs:53-59): witness generation and proving of later
+    blocks overlaps earlier blocks, memory stays bounded, and the final
+    parent-link chain check remains strictly sequential (the cyclic
+    block circuit's order). Returns the BlockProofs in block order
+    (chain-checked via verify_block_chain by the caller)."""
+    from concurrent.futures import ThreadPoolExecutor
+    assert block_pool_size >= 1
+    prove = prove_batches or (lambda gis: prove_block_batches(
+        kernel, gis, config=config, max_cpu_len_log=max_cpu_len_log))
+    with ThreadPoolExecutor(max_workers=block_pool_size) as pool:
+        futures = [pool.submit(prove, gis) for gis in gis_per_block]
+        return [f.result() for f in futures]
+
+
 def prove_block_batches(kernel, gis: list, config=None,
                         max_cpu_len_log: int | None = None,
                         max_cycles: int = 50_000_000) -> BlockProof:

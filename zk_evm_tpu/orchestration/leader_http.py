@@ -51,10 +51,14 @@ def make_handler(queue: FsQueue):
                 job_id = self.path.split("/", 2)[2]
                 res = os.path.join(queue.path, job_id + ".result.json")
                 err = os.path.join(queue.path, job_id + ".error.json")
-                pending = os.path.join(queue.path, job_id + ".job.json")
-                running = any(
-                    f.startswith(job_id + ".claimed.")
-                    for f in os.listdir(queue.path))
+                # pending/claimed filenames carry the routing class:
+                # "{job_id}.{klass}.job.json" / "...claimed.{worker}"
+                listing = os.listdir(queue.path)
+                pending_f = any(f.startswith(job_id + ".")
+                                and f.endswith(".job.json")
+                                for f in listing)
+                running = any(f.startswith(job_id + ".")
+                              and ".claimed." in f for f in listing)
                 if os.path.exists(res):
                     with open(res) as f:
                         self._send(200, {"status": "done",
@@ -65,7 +69,7 @@ def make_handler(queue: FsQueue):
                                          "error": json.load(f)})
                 elif running:
                     self._send(200, {"status": "running"})
-                elif os.path.exists(pending):
+                elif pending_f:
                     self._send(200, {"status": "queued"})
                 else:
                     self._send(404, {"status": "unknown"})

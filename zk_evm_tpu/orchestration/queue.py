@@ -37,12 +37,18 @@ class FsQueue:
         os.makedirs(path, exist_ok=True)
 
     # -- leader side ----------------------------------------------------
-    def submit(self, job: dict) -> str:
+    def submit(self, job: dict, klass: str = "default") -> str:
+        """Submit with a routing class (the reference's light-proof /
+        heavy-proof routing keys for worker affinity,
+        zero/src/bin/leader.rs:28-70). The class is encoded in the job
+        filename so workers filter without reading payloads."""
+        assert "." not in klass, klass
         job_id = uuid.uuid4().hex[:16]
         tmp = os.path.join(self.path, f".tmp.{job_id}")
         with open(tmp, "w") as f:
             json.dump(job, f)
-        os.rename(tmp, os.path.join(self.path, job_id + _JOB))
+        os.rename(tmp, os.path.join(self.path,
+                                    f"{job_id}.{klass}{_JOB}"))
         return job_id
 
     def wait(self, job_id: str, timeout: float = 600.0,
@@ -68,9 +74,13 @@ class FsQueue:
         return [self.wait(i, timeout=timeout) for i in ids]
 
     # -- worker side ----------------------------------------------------
-    def claim(self, worker: str) -> tuple[str, dict] | None:
+    def claim(self, worker: str,
+              classes: tuple[str, ...] | None = None
+              ) -> tuple[str, dict] | None:
         """Claim the oldest pending job via atomic rename; None if the
-        queue is empty."""
+        queue is empty. `classes` restricts claims to those routing
+        classes (worker affinity, leader.rs:28-70's two-runtime split);
+        None claims anything."""
         def _mtime(f):
             # a concurrent worker may claim (rename away) the file between
             # listdir and stat; sort the ghost last instead of dying (the
@@ -84,9 +94,12 @@ class FsQueue:
             (f for f in os.listdir(self.path) if f.endswith(_JOB)),
             key=_mtime)
         for fname in pending:
-            job_id = fname[:-len(_JOB)]
+            tagged = fname[:-len(_JOB)]        # "{job_id}.{klass}"
+            job_id, _, fklass = tagged.partition(".")
+            if classes is not None and fklass not in classes:
+                continue                  # not this worker's affinity
             src = os.path.join(self.path, fname)
-            dst = os.path.join(self.path, f"{job_id}.claimed.{worker}")
+            dst = os.path.join(self.path, f"{tagged}.claimed.{worker}")
             try:
                 os.rename(src, dst)
             except OSError:
@@ -116,7 +129,8 @@ class FsQueue:
             if ".claimed." not in fname:
                 continue
             p = os.path.join(self.path, fname)
-            job_id = fname.split(".claimed.")[0]
+            tagged = fname.split(".claimed.")[0]   # "{job_id}.{klass}"
+            job_id = tagged.partition(".")[0]
             if os.path.exists(os.path.join(self.path, job_id + _RESULT)):
                 continue
             try:
@@ -125,7 +139,7 @@ class FsQueue:
                 continue                  # completed/requeued concurrently
             if stale:
                 try:
-                    os.rename(p, os.path.join(self.path, job_id + _JOB))
+                    os.rename(p, os.path.join(self.path, tagged + _JOB))
                     n += 1
                 except OSError:
                     pass
@@ -180,17 +194,20 @@ WORKER_HANDLERS = {
 def run_worker(queue_dir: str, handlers: dict | None = None,
                poll_s: float = 0.05, max_jobs: int | None = None,
                worker_name: str | None = None,
-               idle_timeout: float | None = None) -> int:
+               idle_timeout: float | None = None,
+               classes: tuple[str, ...] | None = None) -> int:
     """Worker main loop (bin/worker.rs twin): claim -> execute -> ack.
     Returns the number of jobs executed. `max_jobs`/`idle_timeout` bound
-    the loop for tests and drain-and-exit deployments."""
+    the loop for tests and drain-and-exit deployments. `classes` is the
+    worker's affinity (claim only those routing classes — the
+    light-proof/heavy-proof worker split of leader.rs:28-70)."""
     q = FsQueue(queue_dir)
     handlers = handlers if handlers is not None else WORKER_HANDLERS
     name = worker_name or f"{socket.gethostname()}.{os.getpid()}"
     done = 0
     idle_since = time.time()
     while max_jobs is None or done < max_jobs:
-        claimed = q.claim(name)
+        claimed = q.claim(name, classes=classes)
         if claimed is None:
             if idle_timeout is not None \
                     and time.time() - idle_since > idle_timeout:
