@@ -20,3 +20,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Isolate the persistent XLA cache: some tests drive the CLI in-process,
+# whose enable_persistent_cache() would otherwise point the WHOLE pytest
+# process at the user's shared cache dir — concurrent sessions writing
+# the same entries produced a corrupt zstd blob that segfaulted jax's
+# cache reader (round 5). Each pytest run gets its own scratch dir.
+import tempfile  # noqa: E402
+
+os.environ.setdefault(
+    "ZK_EVM_TPU_CACHE",
+    os.path.join(tempfile.mkdtemp(prefix="zk_xla_cache_"), "xla"))

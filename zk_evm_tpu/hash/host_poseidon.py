@@ -96,3 +96,36 @@ def hash_or_noop(inputs: list[int]) -> list[int]:
     if len(inputs) <= 4:
         return list(inputs) + [0] * (4 - len(inputs))
     return hash_no_pad(inputs)
+
+
+def hash_padded_bytes(data: bytes) -> list[int]:
+    """Digest law of the cdk POSEIDON_GENERAL op and of cdk bytecode
+    hashing (smt_trie/src/code.rs:16-36 poseidon_hash_padded_byte_vec):
+    56-byte blocks of 8 little-endian 7-byte lanes, the 4-element
+    capacity of each block chained from the previous block's permutation
+    output. `data` must already be padded to a 56-byte multiple."""
+    assert len(data) % 56 == 0, "input must be padded to 56-byte blocks"
+    capacity = [0, 0, 0, 0]
+    for off in range(0, len(data), 56):
+        block = data[off:off + 56]
+        arr = [int.from_bytes(block[7 * i:7 * i + 7], "little")
+               for i in range(8)] + list(capacity)
+        capacity = permute(arr)[:4]
+    return list(capacity)
+
+
+def pad_bytes_cdk(data: bytes) -> bytes:
+    """cdk bytecode padding (code.rs:38-44 poseidon_pad_byte_vec):
+    append 0x01, zero-fill to a 56-byte multiple, or 0x80 into the last
+    byte."""
+    out = bytearray(data)
+    out.append(0x01)
+    while len(out) % 56:
+        out.append(0x00)
+    out[-1] |= 0x80
+    return bytes(out)
+
+
+def hash_contract_bytecode(code: bytes) -> list[int]:
+    """code.rs:10-14 hash_contract_bytecode."""
+    return hash_padded_bytes(pad_bytes_cdk(code))

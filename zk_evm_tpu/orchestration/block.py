@@ -28,8 +28,9 @@ def prove_block(generated, config: StarkConfig | None = None) -> AllProof:
     """Prove a witness-generated block segment (witness/traces.py
     GeneratedTables) with its PublicValues observed in the transcript."""
     config = config or StarkConfig()
+    flavor = getattr(generated, "flavor", "eth_mainnet")
     return prove_all(generated.starks, generated.traces,
-                     all_cross_table_lookups(), config,
+                     all_cross_table_lookups(flavor), config,
                      public_values=generated.public_values)
 
 

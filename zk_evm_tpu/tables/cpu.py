@@ -60,9 +60,11 @@ KERNEL_ONLY = ({0x0f, 0x0c, 0x0d, 0x0e, 0x21, 0xfb, 0xfc, 0xee, 0xf8}
                | set(range(0xc0, 0xe0)))
 
 
-def flag_for(opcode: int, kernel: bool):
+def flag_for(opcode: int, kernel: bool, flavor: str = "eth_mainnet"):
     """Host decode: which single op flag (if any) this opcode sets."""
-    for start, top_bits, kernel_only, flag in ALIGNED_BLOCKS:
+    blocks = ALIGNED_BLOCKS if flavor == "eth_mainnet" \
+        else ALIGNED_BLOCKS + CDK_ALIGNED_BLOCKS
+    for start, top_bits, kernel_only, flag in blocks:
         length = 1 << (8 - top_bits)
         if start <= opcode < start + length:
             if kernel_only and not kernel:
@@ -172,7 +174,7 @@ def build_cpu_rows(ops, n_rows=None, start_pc=0, halt_pc=0,
     for r, op in enumerate(ops):
         opcode, kernel = op[0], op[1]
         flag = op[2] if len(op) > 2 and op[2] is not None \
-            else flag_for(opcode, kernel)
+            else flag_for(opcode, kernel, flavor)
         if len(op) > 3:
             pc = op[3]
         stack = op[4] if len(op) > 4 else None
@@ -540,6 +542,7 @@ def cpu_rows_from_run(interp, n_rows=None):
     stack-before, gas, kind); the halt pc is wherever execution
     stopped.  Returns (trace, CpuStark)."""
     gl = interp.kernel.global_labels
+    flavor = getattr(interp, "flavor", "eth_mainnet")
     if getattr(interp, "_nvm", None) is not None:
         # native fast path: rows built inside the core, straight off the
         # recorded trace buffers (bit-identical; tests/test_zvm.py)
@@ -559,7 +562,7 @@ def cpu_rows_from_run(interp, n_rows=None):
         elif isinstance(kind, tuple) and kind[0] == "exception":
             flag, exc_code = "exception", kind[1]
         else:
-            flag, exc_code = flag_for(opcode, kernel), None
+            flag, exc_code = flag_for(opcode, kernel, flavor), None
             if flag is None:
                 raise ValueError(
                     f"executed opcode {opcode:#x} (kernel={kernel}) has "
@@ -570,14 +573,16 @@ def cpu_rows_from_run(interp, n_rows=None):
     stark = CpuStark(start_pc=interp.trace[0][0] if interp.trace else 0,
                      halt_pc=halt_pc,
                      syscall_jumptable=gl.get("syscall_jumptable", 0),
-                     exception_jumptable=gl.get("exception_jumptable", 0))
+                     exception_jumptable=gl.get("exception_jumptable", 0),
+                     flavor=flavor)
     trace = build_cpu_rows(
         ops, n_rows=n_rows, halt_pc=halt_pc,
         final_gas=interp.registers.gas_used,
         final_context=interp.registers.context,
         final_stack_len=interp.registers.stack_len,
         syscall_jumptable=gl.get("syscall_jumptable", 0),
-        exception_jumptable=gl.get("exception_jumptable", 0))
+        exception_jumptable=gl.get("exception_jumptable", 0),
+        flavor=flavor)
     return trace, stark
 
 

@@ -36,7 +36,14 @@ def load_tables():
     with open(_CONSTANTS_PATH) as f:
         data = json.load(f)
     constants = {k: int(v) for k, v in data["constants"].items()}
-    return constants, data["opcodes"], data["kernel_files"]
+    opcodes = dict(data["opcodes"])
+    # cdk-only privileged opcodes: decoded at witness/transition.rs:96-98
+    # but absent from the reference's opcodes.rs mnemonic table (no
+    # shipped .asm emits them yet); named here so cdk kernel routines
+    # and test harnesses can assemble them
+    opcodes.setdefault("POSEIDON", 0x22)
+    opcodes.setdefault("POSEIDON_GENERAL", 0x23)
+    return constants, opcodes, data["kernel_files"]
 
 
 @dataclass
@@ -422,6 +429,22 @@ def load_frozen_kernel(path: str = FROZEN_KERNEL_PATH) -> Kernel:
                                  for k, v in payload["prover_inputs"].items()})
 
 
+# Kernel files gated by chain flavor, mirroring the #[cfg(feature)] file
+# attributes in the reference's aggregator
+# (/root/reference/evm_arithmetization/src/cpu/kernel/aggregator.rs:56-187):
+# the eth-only files (blob txns, withdrawals, KZG point evaluation) are
+# excluded from cdk_erigon/polygon_pos builds, and cdk_pre_execution only
+# exists under cdk_erigon. (The commented-out bls381/util.asm and the
+# flavor-foreign files remain in the DEFAULT eth build for kernel-hash
+# stability with the vendored artifact; they assemble to dead code.)
+_FILE_FEATURES = {
+    "asm/core/withdrawals.asm": ("eth_mainnet",),
+    "asm/core/precompiles/kzg_peval.asm": ("eth_mainnet",),
+    "asm/transactions/type_3.asm": ("eth_mainnet",),
+    "asm/cdk_pre_execution.asm": ("eth_mainnet", "cdk_erigon"),
+}
+
+
 def combined_kernel(asm_dir: str | None = None,
                     active_features=("eth_mainnet",),
                     extra_sources=()) -> Kernel:
@@ -433,6 +456,11 @@ def combined_kernel(asm_dir: str | None = None,
     `extra_sources` appends additional .asm source strings (e.g. test
     harness routines that call kernel globals)."""
     constants, opcodes, kernel_files = load_tables()
+    if tuple(active_features) != ("eth_mainnet",):
+        kernel_files = [
+            rel for rel in kernel_files
+            if any(f in active_features
+                   for f in _FILE_FEATURES.get(rel, active_features))]
     if asm_dir is None:
         ref = os.environ.get("ZK_EVM_REFERENCE", "/root/reference")
         asm_dir = os.path.join(ref, "evm_arithmetization/src/cpu/kernel")

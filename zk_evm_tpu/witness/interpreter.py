@@ -309,10 +309,14 @@ class Interpreter:
 
     def __init__(self, kernel: Kernel, initial_offset=0,
                  initial_stack=(), prover_inputs=None,
-                 halt_offsets=None, max_cycles=50_000_000):
+                 halt_offsets=None, max_cycles=50_000_000,
+                 flavor: str = "eth_mainnet"):
         from . import native_vm
         self.kernel = kernel
-        self.memory = native_vm.make_memory()
+        # cdk runs stay on the python memory/dispatch path: the native
+        # core does not implement the cdk-only POSEIDON opcodes yet
+        self.memory = native_vm.make_memory() \
+            if flavor == "eth_mainnet" else MemoryState()
         self._nvm = None   # lazy native core handle (native_vm.ZvmHandle)
         self.registers = Registers(program_counter=initial_offset)
         self.clock = 0
@@ -367,7 +371,11 @@ class Interpreter:
         self.logic_log = []     # (step, (op, in0, in1))
         self.sponge_log = []    # (step, (ctx, seg, virt), input bytes)
         self.bp_log = []        # (step, is_read, (ctx,seg,virt), bytes)
+        self.poseidon_log = []  # (step, op) op = PoseidonSimple/GeneralOp
         self.metadata_ops = []  # (segment, virt, value) ts=2 writes
+        # chain flavor gates the cdk-only POSEIDON opcodes
+        # (witness/transition.rs:96-98, cfg(cdk_erigon))
+        self.flavor = flavor
 
         # preload kernel code into context 0's Code segment (zero bytes
         # included: they are part of MemBefore and must round-trip
@@ -992,6 +1000,50 @@ class Interpreter:
             if self.on_keccak is not None:
                 self.on_keccak((ctx, seg, virt), data, self.clock)
             push(int.from_bytes(digest, "big"))
+        elif op == 0x22 and r.is_kernel \
+                and self.flavor == "cdk_erigon":    # POSEIDON
+            # pops x,y,z; pushes Poseidon(x||y||z)[0..4] where each u256
+            # splits into 4 little-endian u64 limbs and z is the
+            # capacity (witness/operation.rs:175-204 generate_poseidon)
+            from ..hash import host_poseidon
+            self.require_stack(3)
+            x, y, z = pop(), pop(), pop()
+            arr = [(v >> (64 * i)) & 0xFFFFFFFFFFFFFFFF
+                   for v in (x, y, z) for i in range(4)]
+            out = host_poseidon.permute(list(arr))[:4]
+            digest = 0
+            for i, l in enumerate(out):
+                digest |= int(l) << (64 * i)
+            if self.record_trace:
+                from ..tables.poseidon import PoseidonSimpleOp
+                self.poseidon_log.append(
+                    (self._step_idx(), PoseidonSimpleOp(tuple(arr))))
+            push(digest)
+        elif op == 0x23 and r.is_kernel \
+                and self.flavor == "cdk_erigon":    # POSEIDON_GENERAL
+            # pops addr,len; reads len bytes (each cell's low byte) and
+            # pushes the 56-byte-block sponge digest
+            # (generate_poseidon_general, operation.rs:206-260; digest
+            # law = smt code.rs poseidon_hash_padded_byte_vec)
+            from ..hash.host_poseidon import hash_padded_bytes
+            self.require_stack(2)
+            addr, length = pop(), pop()
+            ctx, seg, virt = _unpack_addr(addr)
+            data = bytes((self.memory.get(ctx, seg, virt + i) & 0xFF)
+                         for i in range(length))
+            out = hash_padded_bytes(data)
+            digest = 0
+            for i, l in enumerate(out):
+                digest |= int(l) << (64 * i)
+            if self.record_trace:
+                from ..tables.poseidon import PoseidonGeneralOp
+                from ..tables.all_stark import NUM_CHANNELS
+                self.poseidon_log.append(
+                    (self._step_idx(), PoseidonGeneralOp(
+                        context=ctx, segment=seg, virt=virt,
+                        timestamp=(self._step_idx() + 1) * NUM_CHANNELS,
+                        input=data, len=length)))
+            push(digest)
         elif op == 0x50:
             pop()
         elif op == 0x56:                            # JUMP
@@ -1607,12 +1659,13 @@ def initial_registers(kernel: Kernel) -> Registers:
                      is_kernel=True)
 
 
-def run_generation(kernel: Kernel, inputs, max_cycles=50_000_000):
+def run_generation(kernel: Kernel, inputs, max_cycles=50_000_000,
+                   flavor: str = "eth_mainnet"):
     """Full witness run: initialize from GenerationInputs and execute
     init -> main -> ... -> halt -> exc_stop -> halt_final
     (the reference's simulate_cpu path, generation/mod.rs:640-668)."""
     interp = Interpreter(kernel, kernel.global_labels["init"],
-                         max_cycles=max_cycles)
+                         max_cycles=max_cycles, flavor=flavor)
     interp.initialize_from_inputs(inputs)
     try:
         interp.run_segment(initial_registers(kernel))

@@ -245,6 +245,7 @@ class GeneratedTables:
     public_values: PublicValues
     mem_before_values: list
     mem_after_values: list
+    flavor: str = "eth_mainnet"
 
 
 def generate_all_tables(interp, use_optional=True) -> GeneratedTables:
@@ -283,6 +284,17 @@ def generate_all_tables(interp, use_optional=True) -> GeneratedTables:
         extra_ops.append(memory.MemoryOp(True, 2, 0, seg, virt, False,
                                          value))
 
+    # cdk POSEIDON_GENERAL byte reads (the Poseidon table's memory CTL
+    # expects one byte-read row per input byte at the op's timestamp,
+    # tables/poseidon.py ctl_looking_memory)
+    pose_ops = [op for _s, op in getattr(interp, "poseidon_log", [])]
+    for op in pose_ops:
+        if hasattr(op, "virt"):                    # PoseidonGeneralOp
+            for i in range(op.len):
+                extra_ops.append(memory.MemoryOp(
+                    True, op.timestamp, op.context, op.segment,
+                    op.virt + i, True, op.input[i]))
+
     mem_ops = memory.MemOpsArrays.concat(
         [derive_memory_ops_arrays(cpu_trace),
          memory._ops_to_arrays(extra_ops)]) if extra_ops \
@@ -305,29 +317,48 @@ def generate_all_tables(interp, use_optional=True) -> GeneratedTables:
     traces[Table.MemAfter] = memory_continuation.generate_trace(
         mem_after_values)
 
-    table_in_use = [True] * NUM_TABLES
+    flavor = getattr(interp, "flavor", "eth_mainnet")
+    if flavor == "cdk_erigon":
+        from ..tables.all_stark import CDK_NUM_TABLES
+        from ..tables import poseidon as pose_mod
+        traces += [None] * (CDK_NUM_TABLES - len(traces))
+        if pose_ops:
+            traces[Table.Poseidon] = pose_mod.generate_trace(pose_ops)
+    n_tables = len(traces)
+    optional = _optional_tables(flavor)
+
+    table_in_use = [True] * n_tables
     if use_optional:
         empties = {Table.Keccak: keccak_inputs,
                    Table.KeccakSponge: sponge_ops,
                    Table.Logic: logic_ops,
                    Table.BytePacking: bp_ops,
                    Table.MemAfter: mem_after_values}
+        if flavor == "cdk_erigon":
+            empties[Table.Poseidon] = pose_ops
         for t, ops in empties.items():
-            if not ops and t in OPTIONAL_TABLES:
+            if not ops and t in optional:
                 table_in_use[t] = False
                 traces[t] = None
 
     pv = build_public_values(interp)
-    starks = _starks_with(cpu_stark)
+    starks = _starks_with(cpu_stark, flavor)
     return GeneratedTables(traces=traces, table_in_use=table_in_use,
                            starks=starks, public_values=pv,
                            mem_before_values=mem_before_values,
-                           mem_after_values=mem_after_values)
+                           mem_after_values=mem_after_values,
+                           flavor=flavor)
 
 
-def _starks_with(cpu_stark: CpuStark):
+def _optional_tables(flavor: str):
+    from ..tables.all_stark import CDK_OPTIONAL_TABLES
+    return CDK_OPTIONAL_TABLES if flavor == "cdk_erigon" \
+        else OPTIONAL_TABLES
+
+
+def _starks_with(cpu_stark: CpuStark, flavor: str = "eth_mainnet"):
     from ..tables.all_stark import all_starks
-    starks = all_starks()
+    starks = all_starks(flavor)
     starks[Table.Cpu] = cpu_stark
     return starks
 
