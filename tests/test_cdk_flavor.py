@@ -248,3 +248,44 @@ def test_cdk_kernel_rows_prove_and_verify():
     optional = tuple(i for i, t in enumerate(traces) if t is None)
     proof = prove_all(starks, traces, ctls, cfg)
     verify_all(starks, proof, ctls, cfg, optional_tables=optional)
+
+
+def test_cdk_ger_block_end_to_end():
+    """A REAL cdk block (the reference's global_exit_root.rs fixture)
+    through the cdk kernel: cdk_pre_execution writes the GER + scalable
+    L2 storage from PROVER_INPUT(ger), the kernel-computed post-state
+    root equals the fixture's expected root, and the full cdk table set
+    passes every AIR and CTL balance. Prove+verify under ZK_SLOW."""
+    from zk_evm_tpu.witness.assembler import combined_kernel
+    from zk_evm_tpu.witness.testing_fixtures import build_cdk_ger_inputs
+    from zk_evm_tpu.witness.interpreter import run_generation
+    from zk_evm_tpu.witness.traces import generate_all_tables
+    from zk_evm_tpu.stark.debug import check_constraints_np, \
+        check_ctl_balance
+    from zk_evm_tpu.stark.public_values import memory_extra_looking_values
+    from zk_evm_tpu.native import keccak256
+
+    kernel = combined_kernel(active_features=("cdk_erigon",))
+    gi = build_cdk_ger_inputs()
+    interp = run_generation(kernel, gi, flavor="cdk_erigon")
+    gt = generate_all_tables(interp)
+    assert gt.flavor == "cdk_erigon"
+    assert len(gt.traces) == ast.CDK_NUM_TABLES
+    assert gt.public_values.trie_roots_after.state_root == \
+        gi.trie_roots_after.state_root
+
+    for trace, stark in zip(gt.traces, gt.starks):
+        if trace is not None:
+            check_constraints_np(stark, trace)
+    kh = int.from_bytes(keccak256(bytes(kernel.code)), "big")
+    extra = memory_extra_looking_values(gt.public_values, kh,
+                                        len(kernel.code))
+    check_ctl_balance(ast.all_cross_table_lookups("cdk_erigon"),
+                      gt.traces, {ast.MEMORY_CTL_IDX: extra})
+
+    if os.environ.get("ZK_SLOW") == "1":
+        from zk_evm_tpu.orchestration.block import prove_block, \
+            verify_block
+        from zk_evm_tpu.stark.config import StarkConfig
+        proof = prove_block(gt, StarkConfig.test_config())
+        verify_block(proof, kernel, StarkConfig.test_config())

@@ -288,6 +288,10 @@ class GenerationInputs:
     contract_code: dict
     block_metadata: object
     block_hashes: object
+    # cdk_erigon only (generation/mod.rs:99-133): pre-block GER write
+    # data (l1 root, l1 block hash) and the burn address
+    ger_data: tuple | None = None
+    burn_addr: bytes | None = None
 
 
 def entrypoint(bpi: BlockProverInput, batch_size_hint: int = 1,

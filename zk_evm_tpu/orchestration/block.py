@@ -43,19 +43,20 @@ def _initial_memory_cap(code: bytes, rate_bits: int, cap_height: int):
     return batch.cap_ints()
 
 
-def starks_for_kernel(kernel):
+def starks_for_kernel(kernel, flavor: str = "eth_mainnet"):
     """Verifier-side Stark instances: defaults with the CpuStark built
     from the kernel's label offsets."""
     from ..tables.all_stark import all_starks
     from ..tables.cpu import cpu_stark_for_kernel
-    starks = all_starks()
-    starks[Table.Cpu] = cpu_stark_for_kernel(kernel)
+    starks = all_starks(flavor)
+    starks[Table.Cpu] = cpu_stark_for_kernel(kernel, flavor)
     return starks
 
 
 def verify_block(all_proof: AllProof, kernel,
                  config: StarkConfig | None = None,
-                 check_initial_cap: bool = True) -> None:
+                 check_initial_cap: bool = True,
+                 flavor: str = "eth_mainnet") -> None:
     """Verify a block-segment AllProof against a known kernel
     (an assembled Kernel: .code bytes + .global_labels).
 
@@ -65,7 +66,10 @@ def verify_block(all_proof: AllProof, kernel,
     (for a first segment) the MemBefore trace cap must equal the
     kernel's initial memory cap."""
     config = config or StarkConfig()
-    starks = starks_for_kernel(kernel)
+    from ..tables.all_stark import CDK_NUM_TABLES
+    if len(all_proof.proofs) == CDK_NUM_TABLES:
+        flavor = "cdk_erigon"          # 10-table proof implies cdk
+    starks = starks_for_kernel(kernel, flavor)
     kernel_code = bytes(kernel.code)
     pv = all_proof.public_values
     assert pv is not None, "block proof carries no public values"
@@ -84,9 +88,12 @@ def verify_block(all_proof: AllProof, kernel,
         assert got_cap == [list(map(int, e)) for e in expected_cap], \
             "MemBefore cap does not bind the expected kernel"
 
-    verify_all(starks, all_proof, all_cross_table_lookups(), config,
+    from ..tables.all_stark import CDK_OPTIONAL_TABLES
+    optional = CDK_OPTIONAL_TABLES if flavor == "cdk_erigon" \
+        else OPTIONAL_TABLES
+    verify_all(starks, all_proof, all_cross_table_lookups(flavor), config,
                extra_looking_values={MEMORY_CTL_IDX: extra},
-               optional_tables=OPTIONAL_TABLES)
+               optional_tables=optional)
 
 
 def _cap_ints(proof) -> list:

@@ -586,7 +586,7 @@ def cpu_rows_from_run(interp, n_rows=None):
     return trace, stark
 
 
-def cpu_stark_for_kernel(kernel) -> "CpuStark":
+def cpu_stark_for_kernel(kernel, flavor: str = "eth_mainnet") -> "CpuStark":
     """The CpuStark a VERIFIER constructs from the kernel identity alone.
     A generation run starts at `init` and idles at `halt_final` — the pc
     the exc_stop epilogue parks on (NOT `halt`, which is the
@@ -597,7 +597,8 @@ def cpu_stark_for_kernel(kernel) -> "CpuStark":
     return CpuStark(start_pc=gl["init"],
                     halt_pc=gl.get("halt_final", gl["halt"]),
                     syscall_jumptable=gl.get("syscall_jumptable", 0),
-                    exception_jumptable=gl.get("exception_jumptable", 0))
+                    exception_jumptable=gl.get("exception_jumptable", 0),
+                    flavor=flavor)
 
 
 class CpuStark(Stark):

@@ -455,7 +455,16 @@ class Interpreter:
                 all_rlp_prover_inputs_reversed(inputs.signed_txns)
             self.withdrawal_prover_inputs = \
                 all_withdrawals_prover_inputs_reversed(inputs.withdrawals)
-            self.ger_prover_inputs = [U256_MAX]
+            ger = getattr(inputs, "ger_data", None)
+            if ger is not None:
+                root, l1blockhash = ger
+                # popped from the end: first PROVER_INPUT(ger) yields the
+                # l1blockhash, the second the root (state.rs:794-800)
+                self.ger_prover_inputs = [
+                    int.from_bytes(root, "big"),
+                    int.from_bytes(l1blockhash, "big")]
+            else:
+                self.ger_prover_inputs = [U256_MAX]
         self.contract_code = dict(inputs.contract_code)
 
         md = inputs.block_metadata

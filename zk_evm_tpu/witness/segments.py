@@ -53,13 +53,15 @@ class SegmentDataIterator:
     tracing run can start from."""
 
     def __init__(self, kernel, inputs, max_cpu_len_log: int | None = None,
-                 max_cycles: int = 50_000_000):
+                 max_cycles: int = 50_000_000,
+                 flavor: str = "eth_mainnet"):
         from ..tables.memory_continuation import \
             kernel_initial_memory_values
         self.kernel = kernel
         self.max_cpu_len_log = max_cpu_len_log
+        self.flavor = flavor
         self.interp = Interpreter(kernel, kernel.global_labels["init"],
-                                  max_cycles=max_cycles)
+                                  max_cycles=max_cycles, flavor=flavor)
         self.interp.record_trace = False
         self.interp.initialize_from_inputs(inputs)
         self._next = SegmentData(
@@ -126,12 +128,13 @@ class SegmentDataIterator:
 
 
 def run_segment_generation(kernel, inputs, segment: SegmentData,
-                           max_cycles: int = 50_000_000) -> Interpreter:
+                           max_cycles: int = 50_000_000,
+                           flavor: str = "eth_mainnet") -> Interpreter:
     """Tracing re-run of one segment: returns a finished interpreter
     ready for witness/traces.generate_all_tables (the per-segment
     generate_traces path, generation/mod.rs:496-560)."""
     interp = Interpreter(kernel, kernel.global_labels["init"],
-                         max_cycles=max_cycles)
+                         max_cycles=max_cycles, flavor=flavor)
     interp.initialize_from_inputs(inputs, segment=segment)
     regen = segment.extra.get("jumpdest_regen_log")
     if regen:
@@ -165,7 +168,8 @@ def run_segment_generation(kernel, inputs, segment: SegmentData,
 
 
 def generate_segment_tables(kernel, inputs, max_cpu_len_log=None,
-                            max_cycles: int = 50_000_000):
+                            max_cycles: int = 50_000_000,
+                            flavor: str = "eth_mainnet"):
     """Full zk-continuations witness pipeline: yields one GeneratedTables
     per segment, with each segment's table MemBefore chained from the
     previous segment's table-generated mem_after (so MemAfter(k) ==
@@ -174,10 +178,11 @@ def generate_segment_tables(kernel, inputs, max_cpu_len_log=None,
     from .traces import generate_all_tables
     prev_mem_after = None
     for seg in SegmentDataIterator(kernel, inputs, max_cpu_len_log,
-                                   max_cycles):
+                                   max_cycles, flavor=flavor):
         if seg.index > 0:
             seg.mem_before_values = prev_mem_after
-        interp = run_segment_generation(kernel, inputs, seg, max_cycles)
+        interp = run_segment_generation(kernel, inputs, seg, max_cycles,
+                                        flavor=flavor)
         gt = generate_all_tables(interp)
         prev_mem_after = gt.mem_after_values
         yield seg, gt
