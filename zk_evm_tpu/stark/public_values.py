@@ -136,15 +136,22 @@ class PublicValues:
     extra_block_data: ExtraBlockData = field(default_factory=ExtraBlockData)
     registers_before: RegistersData = field(default_factory=RegistersData)
     registers_after: RegistersData = field(default_factory=RegistersData)
+    # cdk_erigon only: the burn address, observed as 8 u32 limbs after
+    # the extra block data (get_challenges.rs:147-161 observe_burn_addr,
+    # cfg(cdk_erigon)); None (eth/polygon_pos flavors) adds nothing
+    burn_addr: bytes | None = None
 
     def to_elements(self):
         """Transcript encoding (Appendix A order); registers and memory
         caps excluded by design."""
-        return self.trie_roots_before.to_elements() \
+        out = self.trie_roots_before.to_elements() \
             + self.trie_roots_after.to_elements() \
             + self.block_metadata.to_elements() \
             + self.block_hashes.to_elements() \
             + self.extra_block_data.to_elements()
+        if self.burn_addr is not None:
+            out += h256_limbs(self.burn_addr)
+        return out
 
     def observe(self, challenger):
         challenger.observe_elements(self.to_elements())
@@ -277,6 +284,8 @@ def public_values_to_dict(pv: PublicValues) -> dict:
         "extra_block_data": _dataclass_dict(pv.extra_block_data),
         "registers_before": _dataclass_dict(pv.registers_before),
         "registers_after": _dataclass_dict(pv.registers_after),
+        "burn_addr": pv.burn_addr.hex() if pv.burn_addr is not None
+        else None,
     }
 
 
@@ -292,4 +301,6 @@ def public_values_from_dict(d: dict) -> PublicValues:
         registers_before=_dataclass_from(RegistersData,
                                          d["registers_before"]),
         registers_after=_dataclass_from(RegistersData,
-                                        d["registers_after"]))
+                                        d["registers_after"]),
+        burn_addr=bytes.fromhex(d["burn_addr"])
+        if d.get("burn_addr") else None)

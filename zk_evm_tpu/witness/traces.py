@@ -398,4 +398,5 @@ def build_public_values(interp) -> PublicValues:
             program_counter=fr.program_counter,
             is_kernel=int(fr.is_kernel), stack_len=fr.stack_len,
             stack_top=stack_top, context=fr.context,
-            gas_used=fr.gas_used))
+            gas_used=fr.gas_used),
+        burn_addr=getattr(inputs, "burn_addr", None))
