@@ -31,3 +31,17 @@ import tempfile  # noqa: E402
 os.environ.setdefault(
     "ZK_EVM_TPU_CACHE",
     os.path.join(tempfile.mkdtemp(prefix="zk_xla_cache_"), "xla"))
+
+# Raise the main-thread stack soft limit: XLA:CPU's compiler recurses
+# deeply on large fused programs and the default 8 MiB stack segfaults
+# late in the suite once the process is big (the reference ships the
+# same fix as RUST_MIN_STACK=33554432, scripts/prove_stdio.rs:38-46).
+import resource  # noqa: E402
+
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+_want = 256 << 20
+if _soft != resource.RLIM_INFINITY and _soft < _want:
+    try:
+        resource.setrlimit(resource.RLIMIT_STACK, (_want, _hard))
+    except (ValueError, OSError):
+        pass

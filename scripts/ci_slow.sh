@@ -18,8 +18,10 @@ TESTS=(
   tests/test_real_block_witness.py
   # 2-block chain e2e + block statement algebra
   tests/test_aggregation.py
-  # cdk negative tests + full cdk AllStark scenario
+  # cdk negative tests, cdk AllStark scenario, GER block, kernel rows
   tests/test_cdk_flavor.py
+  # succinct block wrap: block 3 proven + wrapped + wrap-verified
+  tests/test_aggregate_tape.py
 )
 
 START=$(date -u +%Y-%m-%dT%H:%M:%SZ)

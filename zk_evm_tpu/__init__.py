@@ -27,6 +27,20 @@ host, as laid out in SURVEY.md §7.
 __version__ = "0.1.0"
 
 
+def raise_stack_limit(want: int = 256 << 20) -> None:
+    """Raise the main-thread stack soft limit: XLA:CPU's compiler
+    recurses deeply on large fused programs and the default 8 MiB stack
+    can overflow in long-lived prover processes (the reference's
+    RUST_MIN_STACK=33554432 analog, scripts/prove_stdio.rs:38-46)."""
+    import resource
+    soft, hard = resource.getrlimit(resource.RLIMIT_STACK)
+    if soft != resource.RLIM_INFINITY and soft < want:
+        try:
+            resource.setrlimit(resource.RLIMIT_STACK, (want, hard))
+        except (ValueError, OSError):
+            pass
+
+
 def tune_allocator():
     """Keep large numpy temporaries in the malloc arena.
 

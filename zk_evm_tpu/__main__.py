@@ -217,8 +217,10 @@ def cmd_trie_diff(args):
 
 def main(argv=None):
     from .compile_cache import enable_persistent_cache
-    from . import runtime_config, metrics, tune_allocator
+    from . import runtime_config, metrics, tune_allocator, \
+        raise_stack_limit
     tune_allocator()
+    raise_stack_limit()
     enable_persistent_cache()
     p = argparse.ArgumentParser(prog="zk_evm_tpu")
     p.add_argument("--config", default=None,
