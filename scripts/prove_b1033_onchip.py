@@ -65,6 +65,9 @@ def worker(hint, mcl):
     """Prove every not-yet-proven segment, persisting as it goes."""
     from zk_evm_tpu import tune_allocator
     tune_allocator()
+    # collapse the per-table shape space to the reference's circuit
+    # ranges so cached executables cover whole block ranges
+    os.environ.setdefault("ZK_TABLE_MIN_DEGREES", "1")
     from zk_evm_tpu.compile_cache import enable_persistent_cache
     enable_persistent_cache()
     import jax

@@ -53,6 +53,11 @@ def cmd_prove(args):
     -> per-batch segment-chain STARK proofs -> batch aggregation ->
     block statement, chained across blocks. Twin of BlockProverInput::
     prove (zero/src/prover.rs:97-333) over the in-process runtime."""
+    import os
+    # production prove: pin table sizes to the reference's per-table
+    # circuit ranges (zero/src/prover_state/circuit.rs:79-90) so the
+    # persistent-cache executables cover whole block ranges
+    os.environ.setdefault("ZK_TABLE_MIN_DEGREES", "1")
     from .witness.assembler import combined_kernel
     from .witness.testing_fixtures import FIXTURES
     from .orchestration.aggregation import (

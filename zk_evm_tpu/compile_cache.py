@@ -23,7 +23,12 @@ _DEFAULT_DIR = os.path.expanduser(
 
 # Allowed log2 sizes per proving shape: every table pads to one of
 # these, so at most len(BUCKETS) executables exist per (table, phase).
-BUCKETS = (8, 10, 12, 14, 16, 17, 18, 19, 20, 21, 22)
+# Contiguous like the reference's per-table circuit ranges
+# (zero/src/prover_state/circuit.rs:79-90, every integer degree in
+# range) — a gapped ladder would pad up to 2x rows, doubling prove
+# work for the biggest tables; the floor at 2^8 only lifts trivial
+# shapes.
+BUCKETS = tuple(range(8, 23))
 
 
 def enable_persistent_cache(path: str | None = None,

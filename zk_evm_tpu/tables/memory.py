@@ -261,7 +261,8 @@ def _fill_gaps_arrays(a: MemOpsArrays) -> MemOpsArrays:
 
 def generate_trace_arrays(ops: MemOpsArrays,
                           mem_before_values=(),
-                          stale_contexts: list[int] = ()):
+                          stale_contexts: list[int] = (),
+                          min_rows: int = 2):
     """Array-native trace generation engine (same output contract as
     generate_trace_py). mem_before_values: ((ctx, seg, virt), value)
     pairs written at timestamp 0."""
@@ -274,7 +275,7 @@ def generate_trace_arrays(ops: MemOpsArrays,
     assert len(a), "no memory ops"
     a = _fill_gaps_arrays(_lexsorted(a))
     # pad with dummy reads one past the last address
-    n = 1 << len(a).bit_length()
+    n = max(1 << len(a).bit_length(), min_rows)
     k = n - len(a)
     pad = MemOpsArrays(
         np.zeros(k, np.uint64),

@@ -24,10 +24,11 @@ VALUE_COLS = list(range(4, 12))
 NUM_COLUMNS = 12
 
 
-def generate_trace(propagated_values) -> np.ndarray:
+def generate_trace(propagated_values, min_rows: int = 128) -> np.ndarray:
     """propagated_values: list of ((context, segment, virt), value)."""
     rows = len(propagated_values)
-    n = max(128, 1 << max(rows - 1, 0).bit_length() if rows else 1)
+    n = max(min_rows, 128,
+            1 << max(rows - 1, 0).bit_length() if rows else 1)
     trace = np.zeros((NUM_COLUMNS, n), dtype=np.uint64)
     if rows:
         trace[FILTER, :rows] = 1

@@ -255,7 +255,16 @@ def generate_all_tables(interp, use_optional=True) -> GeneratedTables:
     traces instead of None (for tests that want every proof present)."""
     ts_of = lambda step: step * NUM_CHANNELS + 1
 
+    mins = _table_min_rows() or {}
+    from ..compile_cache import bucket_rows
     cpu_trace, cpu_stark = cpu_rows_from_run(interp)
+    want = max(bucket_rows(cpu_trace.shape[1]),
+               mins.get(Table.Cpu, 2))
+    if want > cpu_trace.shape[1]:
+        # rebuild: the builder's halt-row padding + witness fill stay
+        # constraint-exact at any size (generic column padding would
+        # break the in-table lookups)
+        cpu_trace, cpu_stark = cpu_rows_from_run(interp, n_rows=want)
 
     # native runs export the (n, 20) raw op array; the vectorized
     # arithmetic builder consumes it directly (python-object Ops only
@@ -302,20 +311,46 @@ def generate_all_tables(interp, use_optional=True) -> GeneratedTables:
     mem_before_values = interp.mem_before_values
     mem_trace, mem_after_values = memory.generate_trace_arrays(
         mem_ops, mem_before_values=mem_before_values,
-        stale_contexts=list(interp.stale_contexts))
+        stale_contexts=list(interp.stale_contexts),
+        min_rows=mins.get(Table.Memory, 2))
+    want = bucket_rows(mem_trace.shape[1])
+    if want > mem_trace.shape[1]:
+        mem_trace, mem_after_values = memory.generate_trace_arrays(
+            mem_ops, mem_before_values=mem_before_values,
+            stale_contexts=list(interp.stale_contexts), min_rows=want)
+
+    def _build(builder, ops, t, default_min):
+        """Build at the builder's natural size, then rebuild at the
+        bucket-ladder size if that is larger — every padding row comes
+        from the builder itself, so in-table lookups stay balanced."""
+        floor = max(mins.get(t, 2), default_min)
+        trace = builder(ops, min_rows=floor)
+        want = bucket_rows(trace.shape[1])
+        if want > trace.shape[1]:
+            trace = builder(ops, min_rows=want)
+        return trace
 
     traces: list = [None] * NUM_TABLES
-    traces[Table.Arithmetic] = arithmetic.generate_trace(arith_ops)
-    traces[Table.BytePacking] = byte_packing.generate_trace(bp_ops)
+    traces[Table.Arithmetic] = _build(arithmetic.generate_trace,
+                                      arith_ops, Table.Arithmetic,
+                                      1 << 16)
+    traces[Table.BytePacking] = _build(byte_packing.generate_trace,
+                                       bp_ops, Table.BytePacking, 256)
     traces[Table.Cpu] = cpu_trace
-    traces[Table.Keccak] = keccak.generate_trace(keccak_inputs)
-    traces[Table.KeccakSponge] = keccak_sponge.generate_trace(sponge_ops)
-    traces[Table.Logic] = logic.generate_trace(logic_ops)
+    traces[Table.Keccak] = _build(keccak.generate_trace, keccak_inputs,
+                                  Table.Keccak, 128)
+    traces[Table.KeccakSponge] = _build(keccak_sponge.generate_trace,
+                                        sponge_ops, Table.KeccakSponge,
+                                        256)
+    traces[Table.Logic] = _build(logic.generate_trace, logic_ops,
+                                 Table.Logic, 8)
     traces[Table.Memory] = mem_trace
-    traces[Table.MemBefore] = memory_continuation.generate_trace(
-        mem_before_values)
-    traces[Table.MemAfter] = memory_continuation.generate_trace(
-        mem_after_values)
+    traces[Table.MemBefore] = _build(memory_continuation.generate_trace,
+                                     mem_before_values, Table.MemBefore,
+                                     128)
+    traces[Table.MemAfter] = _build(memory_continuation.generate_trace,
+                                    mem_after_values, Table.MemAfter,
+                                    128)
 
     flavor = getattr(interp, "flavor", "eth_mainnet")
     if flavor == "cdk_erigon":
@@ -348,6 +383,25 @@ def generate_all_tables(interp, use_optional=True) -> GeneratedTables:
                            mem_before_values=mem_before_values,
                            mem_after_values=mem_after_values,
                            flavor=flavor)
+
+
+def _table_min_rows():
+    """The reference's per-table MINIMUM circuit degrees
+    (zero/src/prover_state/circuit.rs:79-90 lower bounds: Arith 2^16,
+    BytePacking 2^9, Cpu 2^12, Keccak 2^14, KeccakSponge 2^9, Logic
+    2^12, Memory 2^17, MemBefore/MemAfter 2^7). Enabled with
+    ZK_TABLE_MIN_DEGREES=1 (the production prove paths set it): every
+    block then exercises at most len(BUCKETS) shapes per table, so the
+    persistent-cache executables cover whole block ranges. Off by
+    default so unit tests keep their tiny shapes."""
+    import os
+    if os.environ.get("ZK_TABLE_MIN_DEGREES") != "1":
+        return None
+    return {Table.Arithmetic: 1 << 16, Table.BytePacking: 1 << 9,
+            Table.Cpu: 1 << 12, Table.Keccak: 1 << 14,
+            Table.KeccakSponge: 1 << 9, Table.Logic: 1 << 12,
+            Table.Memory: 1 << 17, Table.MemBefore: 1 << 7,
+            Table.MemAfter: 1 << 7}
 
 
 def _optional_tables(flavor: str):
