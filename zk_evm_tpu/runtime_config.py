@@ -48,7 +48,8 @@ class RuntimeConfig:
         return StarkConfig.test_config()
 
     def validate(self) -> "RuntimeConfig":
-        assert self.flavor in ("eth_mainnet", "cdk_erigon"), self.flavor
+        assert self.flavor in ("eth_mainnet", "cdk_erigon",
+                               "polygon_pos"), self.flavor
         assert self.prove_config in ("standard", "test"), self.prove_config
         assert self.max_cpu_len_log == 0 or \
             8 <= self.max_cpu_len_log <= 24, self.max_cpu_len_log

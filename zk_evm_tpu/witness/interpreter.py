@@ -37,7 +37,8 @@ SIGN_BIT = 1 << 255
 DEFAULT_HALT_OFFSET = 0xDEADBEEF
 CONTEXT_SCALING_FACTOR = 64
 MAX_USER_STACK_SIZE = 1024
-MAX_CODE_SIZE = 0x6000
+MAX_CODE_SIZE = 0x6000          # eth default; polygon_pos: PIP-30
+MAX_CODE_SIZE_POLYGON_POS = 0x8000   # constants/mod.rs:374-378
 
 BN_BASE = 21888242871839275222246405745257275088696311157297823662689037894645226208583
 SECP_BASE = (1 << 256) - (1 << 32) - 977
@@ -841,7 +842,9 @@ class Interpreter:
         exc = EXC_INVALID_JUMPI if is_jumpi else EXC_INVALID_JUMP
         if dst >= (1 << 32):
             raise ProgramError(exc, "jump dest > u32")
-        if not r.is_kernel and dst > MAX_CODE_SIZE:
+        limit = MAX_CODE_SIZE_POLYGON_POS \
+            if self.flavor == "polygon_pos" else MAX_CODE_SIZE
+        if not r.is_kernel and dst > limit:
             raise ProgramError(exc, "jump dest > MAX_CODE_SIZE")
         if self.is_jumpdest_analysis and not r.is_kernel:
             self.jumpdest_collected.setdefault(r.context, set()).add(dst)
