@@ -45,3 +45,20 @@ if _soft != resource.RLIM_INFINITY and _soft < _want:
         resource.setrlimit(resource.RLIMIT_STACK, (_want, _hard))
     except (ValueError, OSError):
         pass
+
+
+# Clear jax's in-process caches between test modules: after ~300 tests
+# the accumulated compiled executables reproducibly segfault XLA:CPU's
+# next big compile (backend_compile_and_load) regardless of the stack
+# limit. Dropping executables between modules bounds process state;
+# cross-module reuse is negligible and the persistent cache (isolated
+# above) still serves repeat shapes.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    yield
+    import jax
+
+    jax.clear_caches()
