@@ -53,16 +53,26 @@ def test_dense_permute_best_tile_batch():
         assert out[i].tolist() == hp.permute([int(x) for x in st[i]]), i
 
 
-def test_dense_sponge_interpret_matches_hash_rows():
+def test_dense_sponge_interpret_matches_hash_rows(monkeypatch):
     """Dense fused sponge == scanned jnp sponge for a multi-chunk leaf
-    width (64 = the bench shape), a ragged width (13) and a
-    single-partial width (6)."""
+    a multi-chunk width (17), a ragged
+    width (13) and a single-partial width (6); the 64-column bench shape
+    runs compiled on the chip. Interpret mode emulates every lane op in
+    python, so the tile gate shrinks to keep the suite fast — the
+    compiled kernel at full tile is exercised on the chip by /verify
+    and bench.py."""
     from zk_evm_tpu.hash import poseidon
 
-    for n_cols in (64, 13, 6):
-        mat = rng.integers(0, host.P, size=(pd.TILE, n_cols),
-                           dtype=np.uint64)
-        want = poseidon.hash_rows(GF.from_u64(mat)).to_u64()
-        got = pd.sponge_dense(GF.from_u64(mat.T.copy()),
-                              interpret=True).to_u64()
-        assert got.tolist() == want.tolist(), n_cols
+    monkeypatch.setattr(pd, "TILE", 128)
+    monkeypatch.setattr(pd, "BEST_TILE", 128)
+    pd._sponge_call.cache_clear()
+    try:
+        for n_cols in (17, 13, 6):
+            mat = rng.integers(0, host.P, size=(128, n_cols),
+                               dtype=np.uint64)
+            want = poseidon.hash_rows(GF.from_u64(mat)).to_u64()
+            got = pd.sponge_dense(GF.from_u64(mat.T.copy()),
+                                  interpret=True).to_u64()
+            assert got.tolist() == want.tolist(), n_cols
+    finally:
+        pd._sponge_call.cache_clear()
