@@ -1444,6 +1444,7 @@ class Interpreter:
         sim = Interpreter.__new__(Interpreter)
         sim.kernel = self.kernel
         sim.code = self.code
+        sim.flavor = self.flavor
         sim.memory = self.memory.deep_copy()
         sim._nvm = None
         sim.registers = replace(self.registers)
