@@ -39,12 +39,21 @@ class StarkConfig:
     num_challenges: int = 2
     fri_config: FriConfig = field(default_factory=FriConfig)
     # Merkle commitment hasher: "poseidon" (device path, recursion-
-    # friendly — the reference's PoseidonGoldilocksConfig) or "keccak"
+    # friendly — the reference's PoseidonGoldilocksConfig), "keccak"
     # (the KeccakGoldilocksConfig outer-config twin used by the
-    # reference's integration tests, tests/simple_transfer.rs:24,30;
-    # EVM-side verifiers recompute keccak cheaply). The transcript
-    # challenger stays the Poseidon duplex in both — digests are 4 GF
-    # elements either way.
+    # reference's integration tests, tests/simple_transfer.rs:24,30 —
+    # round 5: commitment trees hash ON DEVICE via the 2xu32-lane
+    # keccak-f[1600] XLA kernel), or "keccak_host" (the numpy twin,
+    # kept as bit-exactness ground truth).
+    #
+    # DECISION (r4 Missing #3, documented): the transcript challenger
+    # stays the Poseidon duplex under every hasher config. The
+    # reference's GenericConfig switches the challenger permutation
+    # with the config (lib.rs:23); ours is already a documented
+    # deviation from plonky2's Poseidon constants (challenger/), so
+    # keeping ONE audited Fiat-Shamir permutation across configs is
+    # both simpler and safer — digests are 4 GF elements either way,
+    # and prover/verifier agree by construction.
     hasher: str = "poseidon"
 
     @property
