@@ -50,8 +50,7 @@ def _roundtrip_both_ways(stark, trace, monkeypatch, **kw):
     windowed = prove_stark(stark, trace, cfg, Challenger(), **kw)
     assert proof_to_json(windowed) == proof_to_json(eager), \
         "windowed (jit) proof deviates from the eager proof"
-    verify_stark(stark, windowed, cfg, Challenger(), **{
-        k: v for k, v in kw.items() if k in ()})
+    verify_stark(stark, windowed, cfg, Challenger())
     return windowed
 
 
