@@ -11,17 +11,20 @@ cd "$(dirname "$0")/.."
 LOG=ci_slow_run.log
 : > "$LOG"
 
+# Ordered fastest/highest-value first so a partial run still records
+# the round's new claims (the sharded real-table proves alone are
+# hour-scale on a 4-core box).
 TESTS=(
-  # sharded real tables over the 8-device virtual mesh
-  tests/test_sharded_real_tables.py
-  # real b1033 batch: segment chain proven + verified (test config)
-  tests/test_real_block_witness.py
-  # 2-block chain e2e + block statement algebra
-  tests/test_aggregation.py
-  # cdk negative tests, cdk AllStark scenario, GER block, kernel rows
+  # cdk: GER block prove, kernel-POSEIDON rows prove, scenario, negatives
   tests/test_cdk_flavor.py
   # succinct block wrap: block 3 proven + wrapped + wrap-verified
   tests/test_aggregate_tape.py
+  # 2-block chain e2e + block statement algebra
+  tests/test_aggregation.py
+  # real b1033 batch: segment chain proven + verified (test config)
+  tests/test_real_block_witness.py
+  # sharded real tables over the 8-device virtual mesh
+  tests/test_sharded_real_tables.py
 )
 
 START=$(date -u +%Y-%m-%dT%H:%M:%SZ)
