@@ -34,7 +34,14 @@ def make_mesh(n_devices: int | None = None, axis: str = "polys") -> Mesh:
 @partial(jax.jit, static_argnames=("cap_height", "rate_bits"))
 def commit_cap(values: GF, cap_height: int = 4, rate_bits: int = 1) -> GF:
     """Fully-jittable trace commitment: values (polys, n) -> Merkle cap
-    (2^cap_height, 4). One traced program: LDE + leaf hash + reduction."""
+    (2^cap_height, 4). One traced program: LDE + leaf hash + reduction.
+
+    Note (round 5): padding the sub-tile tail levels onto the Pallas
+    kernel was tried and measured a wash on-chip (119.5 vs 120.5
+    Melem/s, bit-identical) — inside this one traced program XLA already
+    fuses the scanned tail permutes well, and the pipeline is dominated
+    by the leaf sponge (~77%), which sits near its op-count ceiling
+    (ROOFLINE.md round-5b). Kept on the simple unpadded form."""
     lde = ntt.lde_bitrev(values, rate_bits=rate_bits)
     digests = poseidon.hash_rows(lde.T)
     while digests.shape[0] > (1 << cap_height):
