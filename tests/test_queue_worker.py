@@ -145,3 +145,34 @@ def test_bounded_block_pool_runs_all_blocks():
                                prove_batches=fake_prove)
     assert [p[1] for p in out] == list(range(6))
     assert max(peak) <= 2
+
+
+def test_bounded_batch_pool_keeps_batch_order():
+    """prove_batch_chains: the P4 batch fan-out bounds concurrency and
+    keeps batch order (reference: paladin batch jobs,
+    zero/src/prover.rs:72-118)."""
+    import threading
+    import time as _t
+    from zk_evm_tpu.orchestration.aggregation import prove_batch_chains
+    live = []
+    peak = []
+    lock = threading.Lock()
+
+    def fake_prove(item):
+        bi, gi = item
+        with lock:
+            live.append(1)
+            peak.append(len(live))
+        _t.sleep(0.03 if bi % 2 else 0.06)   # uneven batch durations
+        with lock:
+            live.pop()
+        return ("chain", bi, gi)
+
+    out = prove_batch_chains(list(range(10, 16)), fake_prove,
+                             batch_pool_size=3)
+    assert [(c[1], c[2]) for c in out] == [(i, 10 + i) for i in range(6)]
+    assert max(peak) <= 3
+    # pool size 1 falls back to the plain sequential loop
+    out1 = prove_batch_chains(list(range(10, 13)), fake_prove,
+                              batch_pool_size=1)
+    assert [(c[1], c[2]) for c in out1] == [(i, 10 + i) for i in range(3)]

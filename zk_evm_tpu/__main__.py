@@ -99,7 +99,8 @@ def cmd_prove(args):
             n = gis[0].block_metadata.block_number
             with tree.scope(f"block {n} ({len(gis)} batches)"):
                 bp = prove_block_batches(
-                    kernel, gis, max_cpu_len_log=args.max_cpu_len_log)
+                    kernel, gis, max_cpu_len_log=args.max_cpu_len_log,
+                    batch_pool_size=getattr(args, "batch_pool", 1))
             block_proofs.append(bp)
             out = args.output if len(gis_per_block) == 1 \
                 else f"b{n}.zkproof"
@@ -251,6 +252,10 @@ def main(argv=None):
     pr.add_argument("--max-cpu-len-log", type=int, default=None,
                     help="segment the proof at 2^N CPU rows "
                          "(zk-continuations)")
+    pr.add_argument("--batch-pool", type=int, default=1,
+                    help="txn batches proven concurrently per block "
+                         "(reference: paladin batch fan-out, "
+                         "zero/src/prover.rs:72-118)")
     pr.add_argument("--previous-proof", default=None,
                     help="previous block's .zkproof to chain from "
                          "(resume, zero/src/fs.rs:14-30)")

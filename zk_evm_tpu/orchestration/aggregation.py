@@ -304,22 +304,49 @@ def prove_blocks_bounded(kernel, gis_per_block: list[list], config=None,
 
 def prove_block_batches(kernel, gis: list, config=None,
                         max_cpu_len_log: int | None = None,
-                        max_cycles: int = 50_000_000) -> BlockProof:
+                        max_cycles: int = 50_000_000,
+                        batch_pool_size: int = 1,
+                        prove_chain=None) -> BlockProof:
     """Prove every txn batch of one block (each batch = one kernel run
     segmented by zk-continuations), then aggregate to the block
-    statement."""
+    statement.
+
+    `batch_pool_size` > 1 proves up to that many batches concurrently —
+    the reference fans txn batches out as independent paladin jobs
+    (zero/src/prover.rs:72-118, SURVEY §2.9 P4). Batches are
+    independent until aggregation, results are collected in batch order,
+    so the BlockProof is identical to the sequential one; on a single
+    accelerator the win is overlapping batch N+1's host witness
+    generation with batch N's proving (the segment pipeline already
+    does this WITHIN a batch)."""
     from ..witness.segments import generate_segment_tables
     from .block import prove_block as prove_segment_tables
     from .pipeline import prove_segments_pipelined
     from ..timing import timed
 
-    chains = []
-    for bi, gi in enumerate(gis):
+    def one_batch(bi_gi):
+        bi, gi = bi_gi
         with timed(f"batch {bi}/{len(gis)}"):
             seg_iter = generate_segment_tables(
                 kernel, gi, max_cpu_len_log=max_cpu_len_log,
                 max_cycles=max_cycles)
-            chains.append(prove_segments_pipelined(
+            return prove_segments_pipelined(
                 ((seg, gt) for seg, gt in seg_iter),
-                lambda gt: prove_segment_tables(gt, config)))
+                lambda gt: prove_segment_tables(gt, config))
+
+    chains = prove_batch_chains(gis, prove_chain or one_batch,
+                                batch_pool_size)
     return aggregate_block(chains, kernel, config)
+
+
+def prove_batch_chains(gis: list, prove, batch_pool_size: int) -> list:
+    """Fan the per-batch prove over a bounded thread pool; results in
+    batch order regardless of completion order (P4 batch parallelism)."""
+    assert batch_pool_size >= 1
+    items = list(enumerate(gis))
+    if batch_pool_size == 1 or len(items) <= 1:
+        return [prove(it) for it in items]
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=batch_pool_size) as pool:
+        futures = [pool.submit(prove, it) for it in items]
+        return [f.result() for f in futures]
