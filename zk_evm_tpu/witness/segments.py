@@ -163,7 +163,10 @@ def run_segment_generation(kernel, inputs, segment: SegmentData,
             "traced segment diverged from the pre-run"
     if segment.max_cpu_len_log is not None:
         assert interp.clock <= (1 << segment.max_cpu_len_log), \
-            "segment (incl. epilogue) exceeded 2^max_cpu_len_log cycles"
+            "segment (incl. epilogue) exceeded 2^max_cpu_len_log cycles" \
+            " — an exc_stop expansion costlier than the measured 81" \
+            " cycles overran NUM_EXTRA_CYCLES_AFTER=82 (segments.py:33;" \
+            " raise it if a new kernel path legitimately needs more)"
     return interp
 
 
