@@ -67,6 +67,13 @@ def main():
         env = dict(os.environ)
         if slow:
             env["ZK_SLOW"] = "1"
+        # Steps run sequentially in child processes, so they can safely
+        # SHARE one persistent XLA cache (conftest honors a preset
+        # ZK_EVM_TPU_CACHE via setdefault; its per-run tmpdir isolation
+        # exists for CONCURRENT pytest sessions) — later steps reuse the
+        # earlier steps' compiles instead of cold-compiling everything.
+        env.setdefault("ZK_EVM_TPU_CACHE",
+                       os.path.expanduser("~/.cache/zk_evm_tpu/ci_slow"))
         t0 = time.time()
         started = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
         with open(LOG, "a") as lf:
